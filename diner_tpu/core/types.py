@@ -1,0 +1,51 @@
+"""Core pytree types.
+
+The reference caches scene state mutably on nn.Modules
+(image_encoder.py:233-237, pixelnerf.py:47-51); here the scene encoding is an
+explicit immutable pytree returned by `encode()` and threaded to every render
+call — required for jit/pjit and the natural JAX design (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class SceneEncoding:
+    """Everything render-time code needs about the source views.
+
+    All maps NHWC. SB = scene batch, NV = source views.
+    """
+
+    latent: jnp.ndarray       # (SB, NV, Hf, Wf, C) pixel-aligned features
+    depths: jnp.ndarray       # (SB, NV, H, W, 1) metric depth, 0 = invalid
+    depth_stds: jnp.ndarray   # (SB, NV, H, W, 1) per-pixel depth sigma
+    normals: jnp.ndarray      # (SB, NV, H, W, 3) cam-space normals
+    poses: jnp.ndarray        # (SB, NV, 4, 4) world->cam extrinsics
+    focal: jnp.ndarray        # (SB, NV, 2) [fx, fy]
+    c: jnp.ndarray            # (SB, NV, 2) [cx, cy]
+    feature_padding: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def image_shape(self):
+        """(W, H) of the source images (static)."""
+        return (self.depths.shape[3], self.depths.shape[2])
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static renderer hyperparameters.
+
+    Behavioral reference: src/models/nerf_renderer.py:23-37 defaults +
+    configs/train_dtu.yaml:55-58 overrides.
+    """
+
+    n_samples: int = 40
+    n_depth_candidates: int = 1000
+    n_gaussian: int = 15
+    depth_diff_max: float = 0.05
+    white_bkgd: bool = False

@@ -1,0 +1,146 @@
+"""PixelNeRF: pixel-aligned conditioned radiance field with depth-aware fusion.
+
+Behavioral reference: src/models/pixelnerf.py:12-145 in malteprinzler/diner.
+`encode` builds an explicit SceneEncoding (features + depth/std/normal maps +
+cameras); `field` evaluates (rgb, sigma) at world points by projecting into
+every source view, gathering pixel-aligned features, positional-encoding the
+cam-space position and the *signed distance to the MVS surface*
+(depth_dist = sampled_ref_depth - point_z, DINER's depth-aware feature), and
+running the view-conditioned ResnetFC with a mid-network view average.
+
+ImageNet normalization constants match torchvision (pixelnerf.py:32-33).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diner_tpu.core.types import SceneEncoding
+from diner_tpu.geometry import depth2normal, transform_points, project_points
+from diner_tpu.image_ops import grid_sample
+from diner_tpu.nn import SpatialEncoder, ResnetFC, posenc, posenc_dim
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def _scale_uv_for_feature_padding(enc: SceneEncoding, uv):
+    """Account for the latent's replication-padded border: shrink uv so that
+    the un-padded image still spans the same normalized extent
+    (image_encoder.py:113-114)."""
+    if enc.feature_padding == 0:
+        return uv
+    wf = enc.latent.shape[3]
+    hf = enc.latent.shape[2]
+    size = jnp.asarray([wf, hf], uv.dtype)
+    return uv * (size - 2.0 * enc.feature_padding) / size
+
+
+def index_latent(enc: SceneEncoding, uv):
+    """(SB, NV, N, 2) -> (SB, NV, N, C), bilinear/border."""
+    uv = _scale_uv_for_feature_padding(enc, uv)
+    return grid_sample(enc.latent, uv, mode="bilinear", padding_mode="border")
+
+
+def index_depth(enc: SceneEncoding, uv):
+    return grid_sample(enc.depths, uv, mode="nearest", padding_mode="border")
+
+
+def index_depth_std(enc: SceneEncoding, uv):
+    # sigma grows x2 every 12 px outside the image, zero beyond 100 px
+    # (image_encoder.py:186-195) -> rays leaving a source frustum carry weak
+    # surface evidence instead of hard borders.
+    return grid_sample(enc.depth_stds, uv, mode="nearest",
+                       padding_mode="exponential",
+                       pad_double_width=12.0, pad_size=100)
+
+
+def index_normal(enc: SceneEncoding, uv):
+    return grid_sample(enc.normals, uv, mode="nearest", padding_mode="zeros")
+
+
+class PixelNeRF(nn.Module):
+    """Flagship model. Use `.apply(vars, ..., method="encode"/"field")`."""
+
+    # positional-encoding config (poscode & depthcode share it; train_dtu.yaml:40-43)
+    num_freqs: int = 6
+    freq_factor: float = 6.28
+    # encoder config
+    backbone: str = "resnet34"
+    encoder_layers: int = 4
+    encoder_norm: str = "group"
+    image_padding: int = 64
+    padding_pe: int = 4
+    # mlp config (train_dtu.yaml:47-50)
+    n_blocks: int = 5
+    d_hidden: int = 512
+    combine_layer: int = 3
+
+    def setup(self):
+        self.encoder = SpatialEncoder(
+            backbone=self.backbone, num_layers=self.encoder_layers,
+            norm=self.encoder_norm, image_padding=self.image_padding,
+            padding_pe=self.padding_pe)
+        d_in = (posenc_dim(3, self.num_freqs) + posenc_dim(1, self.num_freqs) + 3)
+        self.mlp = ResnetFC(d_in=d_in, d_out=4, n_blocks=self.n_blocks,
+                            d_latent=self.encoder.latent_size,
+                            d_hidden=self.d_hidden,
+                            combine_layer=self.combine_layer)
+
+    def __call__(self, images, depths, depth_stds, extrinsics, intrinsics,
+                 xyz, viewdirs, train: bool = False):
+        """Init/shape-check path: encode then evaluate the field once."""
+        enc = self.encode(images, depths, depth_stds, extrinsics, intrinsics,
+                          train=train)
+        return self.field(enc, xyz, viewdirs)
+
+    def encode(self, images, depths, depth_stds, extrinsics, intrinsics,
+               train: bool = False) -> SceneEncoding:
+        """images: (SB, NV, H, W, 3) in [0, 1]; depths/stds: (SB, NV, H, W, 1);
+        extrinsics: (SB, NV, 4, 4); intrinsics: (SB, NV, 3, 3)."""
+        SB, NV, H, W, _ = images.shape
+        mean = jnp.asarray(IMAGENET_MEAN, images.dtype)
+        std = jnp.asarray(IMAGENET_STD, images.dtype)
+        x = (images - mean) / std
+
+        normals = depth2normal(depths.reshape(SB * NV, H, W, 1),
+                               intrinsics.reshape(SB * NV, 3, 3))
+        normals = normals.reshape(SB, NV, H, W, 3)
+
+        latent = self.encoder(x.reshape(SB * NV, H, W, 3), train=train)
+        latent = latent.reshape(SB, NV, *latent.shape[1:])
+
+        focal = intrinsics[..., jnp.array([0, 1]), jnp.array([0, 1])]
+        c = intrinsics[..., :2, 2]
+        return SceneEncoding(latent=latent, depths=depths,
+                             depth_stds=depth_stds, normals=normals,
+                             poses=extrinsics, focal=focal, c=c,
+                             feature_padding=self.encoder.feature_padding)
+
+    def field(self, enc: SceneEncoding, xyz, viewdirs):
+        """xyz, viewdirs: (SB, B, 3) world space -> (SB, B, 4) [rgb, sigma]."""
+        SB, B, _ = xyz.shape
+        NV = enc.poses.shape[1]
+
+        xyz_nv = jnp.broadcast_to(xyz[:, None], (SB, NV, B, 3))
+        xyz_cam = transform_points(enc.poses, xyz_nv)  # (SB, NV, B, 3)
+
+        z_feature = posenc(xyz_cam, self.num_freqs, self.freq_factor)
+        dirs_nv = jnp.broadcast_to(viewdirs[:, None], (SB, NV, B, 3))
+        dirs_cam = jnp.einsum("svij,svbj->svbi", enc.poses[..., :3, :3], dirs_nv)
+
+        uv = project_points(xyz_cam, enc.focal, enc.c, enc.image_shape)
+        latent = index_latent(enc, uv)  # (SB, NV, B, C)
+        ref_depth = index_depth(enc, uv)[..., 0]  # (SB, NV, B)
+        depth_dist = ref_depth - xyz_cam[..., 2]
+        depth_feature = posenc(depth_dist[..., None], self.num_freqs,
+                               self.freq_factor)
+
+        mlp_in = jnp.concatenate(
+            [latent, z_feature, dirs_cam, depth_feature], axis=-1)
+        out = self.mlp(mlp_in, combine_axis=1)  # (SB, B, 4)
+
+        rgb = nn.sigmoid(out[..., :3])
+        sigma = nn.relu(out[..., 3:4])
+        return jnp.concatenate([rgb, sigma], axis=-1)

@@ -1,0 +1,84 @@
+"""Conditioned residual MLP (the NeRF field network).
+
+Behavioral reference: src/models/resnetfc.py:18-159 in malteprinzler/diner.
+Input is (latent | features) concatenated along the last axis; the latent part
+is injected per-block via linear maps before the view-combine layer, at which
+the view axis is mean-reduced. Second linear of every residual block is
+zero-initialized so blocks start as identity.
+
+DINER config: n_blocks=5, d_hidden=512, combine_layer=3, ReLU
+(configs/train_dtu.yaml:47-50).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Torch's kaiming_normal_(a=0, mode="fan_in") == variance_scaling(2, fan_in, normal).
+_kaiming_exact = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+class ResnetBlockFC(nn.Module):
+    """2-layer residual MLP block; fc_1 zero-init (identity at init)."""
+
+    size_out: Optional[int] = None
+    size_h: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        size_in = x.shape[-1]
+        size_out = self.size_out or size_in
+        size_h = self.size_h or min(size_in, size_out)
+
+        net = nn.Dense(size_h, kernel_init=_kaiming_exact)(nn.relu(x))
+        dx = nn.Dense(size_out, kernel_init=nn.initializers.zeros)(nn.relu(net))
+        if size_in == size_out:
+            x_s = x
+        else:
+            x_s = nn.Dense(size_out, use_bias=False, kernel_init=_kaiming_exact)(x)
+        return x_s + dx
+
+
+class ResnetFC(nn.Module):
+    """Residual MLP with per-block latent injection and mid-network view combine.
+
+    Call with zx of shape (..., V, ..., d_latent + d_in) and `combine_axis`
+    pointing at the view axis V (negative axes not supported); the axis is
+    mean-reduced when the block index reaches `combine_layer`.
+    """
+
+    d_in: int
+    d_out: int = 4
+    n_blocks: int = 5
+    d_latent: int = 0
+    d_hidden: int = 128
+    combine_layer: int = 1000
+
+    @nn.compact
+    def __call__(self, zx, combine_axis: int = 1):
+        assert zx.shape[-1] == self.d_latent + self.d_in
+        if self.d_latent > 0:
+            z = zx[..., : self.d_latent]
+            x = zx[..., self.d_latent:]
+        else:
+            z = None
+            x = zx
+
+        if self.d_in > 0:
+            x = nn.Dense(self.d_hidden, kernel_init=_kaiming_exact, name="lin_in")(x)
+        else:
+            x = jnp.zeros((*zx.shape[:-1], self.d_hidden), zx.dtype)
+
+        for blkid in range(self.n_blocks):
+            if blkid == self.combine_layer:
+                x = jnp.mean(x, axis=combine_axis)
+            if self.d_latent > 0 and blkid < self.combine_layer:
+                tz = nn.Dense(self.d_hidden, kernel_init=_kaiming_exact,
+                              name=f"lin_z_{blkid}")(z)
+                x = x + tz
+            x = ResnetBlockFC(name=f"block_{blkid}")(x)
+
+        return nn.Dense(self.d_out, kernel_init=_kaiming_exact, name="lin_out")(nn.relu(x))

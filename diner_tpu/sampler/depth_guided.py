@@ -1,0 +1,140 @@
+"""Depth-guided ray sampling — DINER's core contribution, as static-shape XLA.
+
+Behavioral reference: src/models/nerf_renderer.py:39-397 in malteprinzler/diner
+(sample_coarse, sample_depthguided, fill_up_uniform_samples).
+
+Pipeline per ray (all shapes static; no data-dependent control flow):
+  1. `n_candidates` stratified z candidates in [near, far].
+  2. Project every candidate into every source view; gather MVS depth d,
+     depth-std sigma (exponentially extrapolated outside the image) and normal.
+  3. Surface likelihood p = probability mass of N(d, sigma^2) inside the
+     candidate's depth bin (erf difference), gated on front-facing normals,
+     |d - z_cam| < depth_diff_max, and valid sigma; max over views.
+  4. Occlusion-aware variant multiplies by transmittance cumprod(1 - p).
+  5. top-k candidates by likelihood (zero-likelihood slots marked empty z=0).
+  6. Last `n_gaussian` slots resampled from N(mu, sigma) fitted to the
+     occlusion-aware likelihood mass along the ray.
+  7. Empty slots refilled stratified-uniformly; final z sorted ascending.
+
+The reference's boolean-mask scatters become jnp.where + fixed-size sorts
+(SURVEY.md §7.3); distribution parity is preserved, bit-parity of randomness
+is not required.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import erf
+
+from diner_tpu.core.types import RenderConfig, SceneEncoding
+from diner_tpu.geometry import transform_points, project_points
+from diner_tpu.models.pixelnerf import index_depth, index_depth_std, index_normal
+
+
+def sample_stratified(rng, rays, n: int):
+    """Stratified z samples in [near, far]: one uniform draw per bin.
+
+    rays: (..., 8). Returns (..., n).
+    """
+    near, far = rays[..., 6:7], rays[..., 7:8]
+    steps = jnp.arange(n, dtype=rays.dtype) / n  # (n,) in [0, 1)
+    jitter = jax.random.uniform(rng, (*rays.shape[:-1], n), rays.dtype) / n
+    s = steps + jitter
+    return near * (1 - s) + far * s
+
+
+def surface_likelihoods(rays, z, enc: SceneEncoding, depth_diff_max: float):
+    """Per-candidate surface likelihoods from the MVS depth priors.
+
+    rays: (SB, NR, 8); z: (SB, NR, NC) distances along the (unit) ray dirs.
+    Returns (p, opaque_p), each (SB, NR, NC): raw max-over-views likelihood and
+    its occlusion-aware (transmittance-weighted) variant.
+    """
+    SB, NR, NC = z.shape
+    NV = enc.poses.shape[1]
+    B = NR * NC
+
+    xyz = rays[..., None, :3] + z[..., None] * rays[..., None, 3:6]
+    xyz = xyz.reshape(SB, B, 3)
+    xyz_nv = jnp.broadcast_to(xyz[:, None], (SB, NV, B, 3))
+    xyz_cam = transform_points(enc.poses, xyz_nv)  # (SB, NV, B, 3)
+
+    dirs = jnp.broadcast_to(rays[:, None, :, 3:6], (SB, NV, NR, 3))
+    dirs_cam = jnp.einsum("svij,svrj->svri", enc.poses[..., :3, :3], dirs)
+
+    uv = project_points(xyz_cam, enc.focal, enc.c, enc.image_shape)
+    ref_depth = index_depth(enc, uv)[..., 0].reshape(SB, NV, NR, NC)
+    ref_std = index_depth_std(enc, uv)[..., 0].reshape(SB, NV, NR, NC)
+    ref_normal = index_normal(enc, uv).reshape(SB, NV, NR, NC, 3)
+    z_cam = xyz_cam[..., 2].reshape(SB, NV, NR, NC)
+
+    step = ((rays[..., 7] - rays[..., 6]) / NC)[:, None, :, None]  # (SB,1,NR,1)
+
+    cos = jnp.sum(dirs_cam[:, :, :, None, :] * ref_normal, axis=-1)
+    valid = (cos <= 0) & (jnp.abs(ref_depth - z_cam) < depth_diff_max) & (ref_std != 0)
+
+    safe_std = jnp.where(ref_std == 0, 1.0, ref_std) * math.sqrt(2.0)
+    hi = erf((z_cam + step / 2 - ref_depth) / safe_std)
+    lo = erf((z_cam - step / 2 - ref_depth) / safe_std)
+    p = jnp.where(valid, 0.5 * jnp.abs(hi - lo), 0.0)  # (SB, NV, NR, NC)
+
+    p = jnp.max(p, axis=1)  # (SB, NR, NC)
+
+    # occlusion-aware: multiply by transmittance of all *earlier* candidates
+    trans = jnp.cumprod(1.0 - p, axis=-1)
+    trans = jnp.concatenate([jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
+    return p, p * trans
+
+
+def fill_uniform(rng, z, rays):
+    """Refill empty (z==0) slots stratified-uniformly over [near, far].
+
+    z: (SB, NR, K) (0 marks empty); rays: (SB, NR, 8).
+    After ascending sort the empties occupy slots 0..n_missing-1; slot i gets
+    near + (i + U(0,1)) * (far - near) / n_missing
+    (reference fill_up_uniform_samples, nerf_renderer.py:367-397).
+    Returns (SB, NR, K) sorted ascending.
+    """
+    SB, NR, K = z.shape
+    z = jnp.sort(z, axis=-1)  # zeros first
+    missing = z == 0
+    n_missing = jnp.sum(missing, axis=-1, keepdims=True)  # (SB, NR, 1)
+    near, far = rays[..., 6:7], rays[..., 7:8]
+    step = (far - near) / jnp.maximum(n_missing, 1).astype(z.dtype)
+    slot = jnp.arange(K, dtype=z.dtype)
+    u = jax.random.uniform(rng, z.shape, z.dtype)
+    z_fill = near + (slot + u) * step
+    z = jnp.where(missing, z_fill, z)
+    return jnp.sort(z, axis=-1)
+
+
+def sample_depthguided(rng, rays, enc: SceneEncoding, cfg: RenderConfig):
+    """Full depth-guided sampling: (SB, NR, 8) rays -> (SB, NR, n_samples) z,
+    sorted ascending, ready for compositing. No gradients flow through this
+    (the reference runs it under no_grad); callers wrap in lax.stop_gradient.
+    """
+    assert cfg.n_samples >= cfg.n_gaussian
+    k_strat, k_gauss, k_fill = jax.random.split(rng, 3)
+
+    z_cand = sample_stratified(k_strat, rays, cfg.n_depth_candidates)
+    p, opaque = surface_likelihoods(rays, z_cand, enc, cfg.depth_diff_max)
+
+    top_p, top_idx = jax.lax.top_k(p, cfg.n_samples)  # (SB, NR, K)
+    z_sel = jnp.take_along_axis(z_cand, top_idx, axis=-1)
+    z_sel = jnp.where(top_p == 0, 0.0, z_sel)  # empty slots -> refill later
+
+    if cfg.n_gaussian > 0:
+        hit = jnp.any(opaque != 0, axis=-1, keepdims=True)  # (SB, NR, 1)
+        wsum = jnp.sum(opaque, axis=-1, keepdims=True)
+        wn = opaque / jnp.where(wsum == 0, 1.0, wsum)
+        mean = jnp.sum(z_cand * wn, axis=-1, keepdims=True)
+        std = jnp.sqrt(jnp.sum((z_cand - mean) ** 2 * wn, axis=-1, keepdims=True))
+        g = jax.random.normal(k_gauss, (*z_sel.shape[:-1], cfg.n_gaussian),
+                              z_sel.dtype) * std + mean
+        g = jnp.where(hit, g, 0.0)
+        z_sel = jnp.concatenate([z_sel[..., : -cfg.n_gaussian], g], axis=-1)
+
+    return fill_uniform(k_fill, z_sel, rays)

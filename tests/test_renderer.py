@@ -1,0 +1,127 @@
+"""Compositing golden values and full-model render smoke tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diner_tpu.core.types import RenderConfig, SceneEncoding
+from diner_tpu.renderer import composite, render_rays, render_image
+from diner_tpu.models import PixelNeRF
+
+from test_sampler import _make_enc, _center_rays  # reuse synthetic scene
+
+
+def test_composite_constant_sigma_closed_form():
+    """Uniform medium: T(far) = exp(-sigma * (far - near)); rgb = c * (1 - T)."""
+    sigma0, c0, near, far, K = 1.7, 0.6, 1.0, 3.0, 256
+
+    def field(xyz, dirs):
+        rgb = jnp.full((*xyz.shape[:-1], 3), c0)
+        sig = jnp.full((*xyz.shape[:-1], 1), sigma0)
+        return jnp.concatenate([rgb, sig], axis=-1)
+
+    rays = _center_rays(near=near, far=far)
+    z = jnp.linspace(near, far, K)[None, None]  # includes endpoint; deltas ~ uniform
+    weights, rgb, depth = composite(field, rays, z, white_bkgd=False)
+    # opacity after the full interval (first sample's alpha uses delta to next)
+    total_w = float(weights.sum())
+    expect = 1 - np.exp(-sigma0 * (far - near))
+    np.testing.assert_allclose(total_w, expect, rtol=2e-2)
+    np.testing.assert_allclose(float(rgb[0, 0, 0]) / total_w, c0, rtol=1e-5)
+    # expected depth of an exponential medium, truncated: analytic integral
+    zs = np.asarray(z)[0, 0]
+    w = np.asarray(weights)[0, 0]
+    np.testing.assert_allclose(float(depth[0, 0]), (w * zs).sum(), rtol=1e-6)
+
+
+def test_composite_opaque_surface():
+    """A huge-sigma shell at z=2 -> depth == 2, rgb == surface color, w sums 1."""
+    near, far = 1.0, 3.0
+
+    def field(xyz, dirs):
+        z = xyz[..., 2]
+        inside = (jnp.abs(z - 2.0) < 0.05).astype(xyz.dtype)
+        sig = (inside * 1e4)[..., None]
+        rgb = jnp.stack([jnp.full_like(z, 0.2), jnp.full_like(z, 0.5),
+                         jnp.full_like(z, 0.9)], axis=-1)
+        return jnp.concatenate([rgb, sig], axis=-1)
+
+    rays = _center_rays(near=near, far=far)
+    z = jnp.linspace(near, far, 200)[None, None]
+    weights, rgb, depth = composite(field, rays, z, white_bkgd=False)
+    np.testing.assert_allclose(float(weights.sum()), 1.0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(rgb)[0, 0], [0.2, 0.5, 0.9], atol=1e-3)
+    # an opaque medium terminates the ray at the shell's *near* boundary (1.95)
+    np.testing.assert_allclose(float(depth[0, 0]), 1.95, atol=0.02)
+
+
+def test_composite_white_background():
+    def field(xyz, dirs):
+        return jnp.zeros((*xyz.shape[:-1], 4))  # empty space
+
+    rays = _center_rays()
+    z = jnp.linspace(1.0, 3.0, 16)[None, None]
+    _, rgb, _ = composite(field, rays, z, white_bkgd=True)
+    np.testing.assert_allclose(np.asarray(rgb)[0, 0], 1.0, atol=1e-6)
+
+
+def _tiny_model_and_batch(SB=1, NV=2, H=16, W=20):
+    model = PixelNeRF(encoder_layers=2, encoder_norm="group", image_padding=4,
+                      padding_pe=2, n_blocks=3, d_hidden=32, combine_layer=2)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(SB, NV, H, W, 3).astype(np.float32))
+    base = _make_enc(SB=SB, NV=NV, H=H, W=W, depth=2.0, std=0.1)
+    return model, images, base
+
+
+def test_pixelnerf_encode_and_field_shapes():
+    model, images, base = _tiny_model_and_batch()
+    K = np.zeros((1, 2, 3, 3), np.float32)
+    K[..., 0, 0] = K[..., 1, 1] = 20.0
+    K[..., 0, 2], K[..., 1, 2], K[..., 2, 2] = 10.0, 8.0, 1.0
+    xyz = jnp.asarray(np.random.RandomState(1).randn(1, 7, 3).astype(np.float32))
+    dirs = jnp.asarray(np.random.RandomState(2).randn(1, 7, 3).astype(np.float32))
+
+    variables = model.init(jax.random.PRNGKey(0), images, base.depths,
+                           base.depth_stds, base.poses, jnp.asarray(K), xyz, dirs)
+    enc = model.apply(variables, images, base.depths, base.depth_stds,
+                      base.poses, jnp.asarray(K), method="encode")
+    assert enc.latent.shape[:2] == (1, 2)
+    assert enc.latent.shape[-1] == 128  # 2 resnet stages: 64 + 64
+    assert enc.feature_padding == 2
+
+    out = model.apply(variables, enc, xyz, dirs, method="field")
+    assert out.shape == (1, 7, 4)
+    o = np.asarray(out)
+    assert (o[..., :3] >= 0).all() and (o[..., :3] <= 1).all()  # sigmoid rgb
+    assert (o[..., 3] >= 0).all()  # relu sigma
+
+
+def test_render_rays_and_image():
+    model, images, base = _tiny_model_and_batch()
+    K = np.zeros((1, 2, 3, 3), np.float32)
+    K[..., 0, 0] = K[..., 1, 1] = 20.0
+    K[..., 0, 2], K[..., 1, 2], K[..., 2, 2] = 10.0, 8.0, 1.0
+    xyz = jnp.zeros((1, 1, 3))
+    variables = model.init(jax.random.PRNGKey(0), images, base.depths,
+                           base.depth_stds, base.poses, jnp.asarray(K), xyz, xyz)
+    enc = model.apply(variables, images, base.depths, base.depth_stds,
+                      base.poses, jnp.asarray(K), method="encode")
+
+    def field_fn(pts, dirs):
+        return model.apply(variables, enc, pts, dirs, method="field")
+
+    cfg = RenderConfig(n_samples=8, n_depth_candidates=32, n_gaussian=3)
+    rays = _center_rays(1, 5)
+    out = render_rays(field_fn, jax.random.PRNGKey(1), rays, enc, cfg)
+    assert out["rgb"].shape == (1, 5, 3)
+    assert out["depth"].shape == (1, 5)
+
+    # tiny image render with chunking (chunk smaller than H*W, non-divisible)
+    from diner_tpu.geometry import gen_rays
+    img_rays = gen_rays(base.poses[:, 0], jnp.asarray(K[:, 0]), 6, 4, 1.0, 3.0)
+    rgb, depth = render_image(field_fn, jax.random.PRNGKey(2), img_rays, enc,
+                              cfg, chunk=7)
+    assert rgb.shape == (1, 4, 6, 3)
+    assert depth.shape == (1, 4, 6)
+    assert not np.isnan(np.asarray(rgb)).any()

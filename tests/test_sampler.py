@@ -1,0 +1,150 @@
+"""Depth-guided sampler: golden erf values, occlusion weighting, fill logic."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.special import erf as scipy_erf
+
+from diner_tpu.core.types import RenderConfig, SceneEncoding
+from diner_tpu.sampler import (
+    sample_stratified, surface_likelihoods, sample_depthguided, fill_uniform,
+)
+
+
+def _make_enc(SB=1, NV=1, H=16, W=16, depth=2.0, std=0.1, f=20.0):
+    """Identity camera at origin looking +z; constant-depth plane with
+    constant sigma and camera-facing normals."""
+    K = np.zeros((SB, NV, 3, 3), np.float32)
+    K[..., 0, 0] = f
+    K[..., 1, 1] = f
+    K[..., 0, 2] = W / 2
+    K[..., 1, 2] = H / 2
+    K[..., 2, 2] = 1
+    ext = np.broadcast_to(np.eye(4, dtype=np.float32), (SB, NV, 4, 4)).copy()
+    depths = np.full((SB, NV, H, W, 1), depth, np.float32)
+    stds = np.full((SB, NV, H, W, 1), std, np.float32)
+    normals = np.zeros((SB, NV, H, W, 3), np.float32)
+    normals[..., 2] = -1.0
+    return SceneEncoding(
+        latent=jnp.zeros((SB, NV, H // 2, W // 2, 8)),
+        depths=jnp.asarray(depths), depth_stds=jnp.asarray(stds),
+        normals=jnp.asarray(normals), poses=jnp.asarray(ext),
+        focal=jnp.asarray(K[..., np.array([0, 1]), np.array([0, 1])]),
+        c=jnp.asarray(K[..., :2, 2]), feature_padding=0)
+
+
+def _center_rays(SB=1, NR=1, near=1.0, far=3.0):
+    rays = np.zeros((SB, NR, 8), np.float32)
+    rays[..., 5] = 1.0  # dir +z through optical center
+    rays[..., 6] = near
+    rays[..., 7] = far
+    return jnp.asarray(rays)
+
+
+def test_stratified_in_bins():
+    rays = _center_rays(2, 5)
+    z = np.asarray(sample_stratified(jax.random.PRNGKey(0), rays, 100))
+    assert z.shape == (2, 5, 100)
+    # each sample inside its own stratum
+    edges_lo = 1.0 + np.arange(100) / 100 * 2.0
+    edges_hi = edges_lo + 2.0 / 100
+    assert (z >= edges_lo - 1e-6).all() and (z <= edges_hi + 1e-6).all()
+
+
+def test_surface_likelihood_golden_erf():
+    """Candidate bins near the surface carry exactly the N(d, sigma^2) mass."""
+    d0, std, near, far, NC = 2.0, 0.05, 1.0, 3.0, 200
+    enc = _make_enc(depth=d0, std=std)
+    rays = _center_rays(near=near, far=far)
+    # deterministic candidates: bin centers
+    step = (far - near) / NC
+    z = jnp.asarray((near + (np.arange(NC) + 0.5) * step)[None, None].astype(np.float32))
+
+    p, opaque = surface_likelihoods(rays, z, enc, depth_diff_max=0.5)
+    p = np.asarray(p)[0, 0]
+
+    zc = np.asarray(z)[0, 0]
+    # z_cam == z here (ray along +z). Expected erf mass where |d0 - z| < 0.5:
+    expect = 0.5 * np.abs(
+        scipy_erf((zc + step / 2 - d0) / (std * math.sqrt(2)))
+        - scipy_erf((zc - step / 2 - d0) / (std * math.sqrt(2))))
+    expect[np.abs(d0 - zc) >= 0.5] = 0.0
+    np.testing.assert_allclose(p, expect, rtol=1e-4, atol=1e-6)
+    # total mass ~1 (surface well inside [near, far])
+    np.testing.assert_allclose(p.sum(), 1.0, atol=1e-3)
+
+
+def test_likelihood_gates():
+    """Back-facing normals and invalid sigma zero the likelihood."""
+    enc = _make_enc(depth=2.0, std=0.1)
+    rays = _center_rays()
+    z = jnp.asarray(np.array([[[2.0]]], np.float32))
+    p, _ = surface_likelihoods(rays, z, enc, 0.5)
+    assert float(p[0, 0, 0]) > 0
+
+    enc_back = enc.replace(normals=-enc.normals)  # normals point away
+    p2, _ = surface_likelihoods(rays, z, enc_back, 0.5)
+    assert float(p2[0, 0, 0]) == 0
+
+    enc_nostd = enc.replace(depth_stds=jnp.zeros_like(enc.depth_stds))
+    p3, _ = surface_likelihoods(rays, z, enc_nostd, 0.5)
+    assert float(p3[0, 0, 0]) == 0
+
+
+def test_occlusion_is_exclusive_cumprod():
+    enc = _make_enc(depth=2.0, std=0.3)
+    rays = _center_rays()
+    z = sample_stratified(jax.random.PRNGKey(1), rays, 50)
+    p, opaque = surface_likelihoods(rays, z, enc, depth_diff_max=1.5)
+    p_np, o_np = np.asarray(p)[0, 0], np.asarray(opaque)[0, 0]
+    trans = np.cumprod(1 - p_np)
+    expect = p_np.copy()
+    expect[1:] *= trans[:-1]
+    np.testing.assert_allclose(o_np, expect, rtol=1e-5, atol=1e-7)
+
+
+def test_fill_uniform_all_empty():
+    rays = _center_rays(1, 3, near=1.0, far=3.0)
+    z = jnp.zeros((1, 3, 10))
+    out = np.asarray(fill_uniform(jax.random.PRNGKey(0), z, rays))
+    assert (np.diff(out, axis=-1) >= 0).all()  # sorted
+    lo = 1.0 + np.arange(10) * 0.2
+    assert (out >= lo - 1e-6).all() and (out <= lo + 0.2 + 1e-6).all()
+
+
+def test_fill_uniform_partial():
+    rays = _center_rays(1, 1, near=0.0, far=1.0)
+    z = jnp.asarray(np.array([[[0.0, 0.42, 0.0, 0.17]]], np.float32))
+    out = np.asarray(fill_uniform(jax.random.PRNGKey(0), z, rays))[0, 0]
+    assert (np.diff(out) >= 0).all()
+    kept = np.isclose(out[:, None], [0.42, 0.17], atol=1e-6).any(axis=1)
+    assert kept.sum() == 2  # existing samples survive
+    # two filled slots drawn from strata of width 0.5: [0, 0.5), [0.5, 1.0)
+    filled = np.sort(out[~kept])
+    assert len(filled) == 2
+    assert 0.0 <= filled[0] < 0.5 and 0.5 <= filled[1] <= 1.0
+
+
+def test_sample_depthguided_concentrates_near_surface():
+    d0, std = 2.0, 0.02
+    enc = _make_enc(depth=d0, std=std)
+    rays = _center_rays(near=1.0, far=3.0)
+    cfg = RenderConfig(n_samples=40, n_depth_candidates=500, n_gaussian=15)
+    z = np.asarray(sample_depthguided(jax.random.PRNGKey(0), rays, enc, cfg))[0, 0]
+    assert z.shape == (40,)
+    assert (np.diff(z) >= 0).all()
+    near_surface = np.abs(z - d0) < 0.06
+    assert near_surface.sum() >= 20  # most samples hug the surface
+    assert (z >= 1.0 - 4 * std).all() and (z <= 3.0 + 4 * std).all()
+
+
+def test_sample_depthguided_no_surface_falls_back_uniform():
+    enc = _make_enc(depth=2.0, std=0.1)
+    enc = enc.replace(depth_stds=jnp.zeros_like(enc.depth_stds))  # no evidence
+    rays = _center_rays(near=1.0, far=3.0)
+    cfg = RenderConfig(n_samples=16, n_depth_candidates=100, n_gaussian=4)
+    z = np.asarray(sample_depthguided(jax.random.PRNGKey(0), rays, enc, cfg))[0, 0]
+    lo = 1.0 + np.arange(16) * (2.0 / 16)
+    assert (z >= lo - 1e-5).all() and (z <= lo + 2.0 / 16 + 1e-5).all()
