@@ -1,0 +1,131 @@
+"""DINER: full training/eval assembly around PixelNeRF + depth-guided renderer.
+
+Behavioral reference: src/models/diner.py:20-334 (LightningModule DINER) in
+malteprinzler/diner — here a pure flax module with explicit rngs and a
+functional loss path, designed to be jit/pjit-compiled whole:
+
+  losses(batch, rng):  encode -> gen_rays(full image) -> pixel/patch selection
+                       -> depth-guided render -> MSE + VGG + antibias
+  render_batch(...):   encode once -> chunked full-image render
+
+Ray/patch selection follows diner.py:229-258: random pixels when w_vgg == 0,
+else one fg-anchored square patch of vgg_spatch^2 pixels per sample, the
+anchor drawn from the eroded target alpha (multinomial -> categorical).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diner_tpu.core.types import RenderConfig
+from diner_tpu.geometry import gen_rays
+from diner_tpu.losses import mse_loss, antibias_loss, vgg_perceptual_loss
+from diner_tpu.models.pixelnerf import PixelNeRF
+from diner_tpu.nn import Vgg19Features
+from diner_tpu.renderer import render_rays, render_image
+
+
+class DINER(nn.Module):
+    nerf: PixelNeRF
+    render_cfg: RenderConfig = RenderConfig()
+    znear: float = 0.5
+    zfar: float = 2.5
+    ray_batch_size: int = 128
+    w_vgg: float = 0.0
+    vgg_spatch: int = 64
+    w_antibias: float = 0.0
+    antibias_downsampling: int = 3
+
+    @property
+    def n_rays(self) -> int:
+        # diner.py:57 — patch losses force ray count to vgg_spatch^2
+        return self.vgg_spatch ** 2 if self.w_vgg != 0 else self.ray_batch_size
+
+    def setup(self):
+        self.vgg = Vgg19Features() if self.w_vgg != 0 else None
+
+    def __call__(self, batch: Dict[str, Any], rng):
+        """Init path: run the full loss computation once."""
+        return self.losses(batch, rng, train=True)
+
+    def encode_batch(self, batch, train: bool = False):
+        return self.nerf.encode(
+            batch["src_rgbs"], batch["src_depths"], batch["src_depth_stds"],
+            batch["src_extrinsics"], batch["src_intrinsics"], train=train)
+
+    def field(self, enc, xyz, viewdirs):
+        return self.nerf.field(enc, xyz, viewdirs)
+
+    def _select_pixels(self, rng, batch, SB: int, H: int, W: int):
+        """(SB, n_rays) flat pixel indices into the target image."""
+        if self.w_vgg == 0.0:
+            return jax.random.randint(rng, (SB, self.n_rays), 0, H * W)
+        s = self.vgg_spatch
+        pad = (s + 1) // 2
+        fg = batch["target_alpha"][..., 0]  # (SB, H, W)
+        border = jnp.zeros((H, W), bool).at[pad:H - pad, pad:W - pad].set(True)
+        fg = jnp.where(border, fg, 0.0)
+        logits = jnp.where(fg.reshape(SB, H * W) > 0,
+                           jnp.log(jnp.maximum(fg.reshape(SB, H * W), 1e-20)),
+                           -jnp.inf)
+        centers = jax.random.categorical(rng, logits, axis=-1)  # (SB,)
+        cx, cy = centers % W, centers // W
+        oy, ox = jnp.meshgrid(jnp.arange(s), jnp.arange(s), indexing="ij")
+        px = cx[:, None, None] + (ox - pad)
+        py = cy[:, None, None] + (oy - pad)
+        return (px + py * W).reshape(SB, s * s)
+
+    def losses(self, batch, rng, train: bool = False):
+        SB, H, W, _ = batch["target_rgb"].shape
+        k_pix, k_render = jax.random.split(rng)
+
+        enc = self.encode_batch(batch, train=train)
+        rays = gen_rays(batch["target_extrinsics"], batch["target_intrinsics"],
+                        W, H, jnp.full((SB,), self.znear),
+                        jnp.full((SB,), self.zfar)).reshape(SB, H * W, 8)
+
+        pix = self._select_pixels(k_pix, batch, SB, H, W)
+        rays = jnp.take_along_axis(rays, pix[..., None], axis=1)  # (SB, B, 8)
+        gt = jnp.take_along_axis(batch["target_rgb"].reshape(SB, H * W, 3),
+                                 pix[..., None], axis=1)
+
+        out = render_rays(lambda p, d: self.nerf.field(enc, p, d),
+                          k_render, rays, enc, self.render_cfg)
+        pred = out["rgb"]
+
+        loss_fine = mse_loss(pred, gt)
+        total = loss_fine
+        loss_dict = {"rgb_fine": loss_fine}
+
+        if self.w_vgg > 0 or self.w_antibias > 0:
+            s = self.vgg_spatch
+            pred_img = pred.reshape(SB, s, s, 3)
+            gt_img = gt.reshape(SB, s, s, 3)
+            if self.w_vgg > 0:
+                loss_vgg = vgg_perceptual_loss(self.vgg, pred_img, gt_img)
+                total = total + self.w_vgg * loss_vgg
+                loss_dict["vgg_fine"] = loss_vgg
+            if self.w_antibias > 0:
+                loss_ab = antibias_loss(pred_img, gt_img,
+                                        self.antibias_downsampling)
+                total = total + self.w_antibias * loss_ab
+                loss_dict["antibias"] = loss_ab
+
+        loss_dict["total"] = total
+        return loss_dict
+
+    def render_batch(self, batch, rng, chunk: int = 4096,
+                     target_extrinsics: Optional[jnp.ndarray] = None):
+        """Full-image prediction (diner.py:72-97). Returns (rgb NHWC, depth NHW)."""
+        SB, H, W, _ = batch["target_rgb"].shape
+        enc = self.encode_batch(batch, train=False)
+        ext = (batch["target_extrinsics"] if target_extrinsics is None
+               else target_extrinsics)
+        rays = gen_rays(ext, batch["target_intrinsics"], W, H,
+                        jnp.full((SB,), self.znear), jnp.full((SB,), self.zfar))
+        return render_image(lambda p, d: self.nerf.field(enc, p, d),
+                            rng, rays, enc, self.render_cfg, chunk=chunk)

@@ -1,0 +1,57 @@
+"""Device mesh + sharding utilities: the TPU-native replacement for DDP/NCCL.
+
+Behavioral reference: the reference's distribution layer is Lightning
+`strategy: ddp` / torch.distributed NCCL all-reduce (SURVEY.md §2.8, §5.8).
+Here: a `jax.sharding.Mesh` with a `data` axis (optionally a second `ray`
+axis); batches are sharded over `data` via NamedSharding, parameters are
+replicated, and XLA inserts the gradient all-reduce over ICI automatically
+when the jitted train step consumes sharded batches with replicated params —
+no hand-written collectives, no process groups.
+
+Multi-host: call `jax.distributed.initialize()` once per host before building
+the mesh; `process_local_slice` replaces DistributedSampler (each host feeds
+only its addressable shard).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape: Optional[Tuple[int, ...]] = None,
+              axis_names: Sequence[str] = ("data",),
+              devices=None) -> Mesh:
+    """Build a device mesh. Default: all devices on one `data` axis."""
+    devices = jax.devices() if devices is None else devices
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    return Mesh(np.asarray(devices).reshape(shape), axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding that splits the leading (batch) dim over `axis`."""
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place every array in `batch` with its leading dim sharded over `axis`."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree (parameters) across the mesh."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def process_local_slice(n: int, process_index: Optional[int] = None,
+                        process_count: Optional[int] = None):
+    """Indices this host should load (DistributedSampler equivalent)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return list(range(pi, n, pc))

@@ -1,0 +1,4 @@
+from diner_tpu.train.state import TrainState, create_train_state
+from diner_tpu.train.step import make_train_step, make_eval_step
+
+__all__ = ["TrainState", "create_train_state", "make_train_step", "make_eval_step"]

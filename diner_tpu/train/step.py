@@ -1,0 +1,46 @@
+"""jit-compiled train/eval steps (SPMD data parallel).
+
+The step is a single XLA program: with the batch sharded over the mesh `data`
+axis and params replicated, XLA inserts the gradient all-reduce over ICI —
+the TPU-native equivalent of the reference's DDP/NCCL loop (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def make_train_step(model):
+    """Returns train_step(state, batch, rng) -> (state, loss_dict)."""
+
+    def train_step(state, batch, rng):
+        has_stats = state.batch_stats is not None
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if has_stats:
+                variables["batch_stats"] = state.batch_stats
+                out, mutated = model.apply(
+                    variables, batch, rng, train=True,
+                    method="losses", mutable=["batch_stats"])
+                return out["total"], (out, mutated["batch_stats"])
+            out = model.apply(variables, batch, rng, train=True, method="losses")
+            return out["total"], (out, None)
+
+        grads, (loss_dict, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        return state, loss_dict
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model):
+    """Returns eval_step(state, batch, rng) -> loss_dict (no grad)."""
+
+    def eval_step(state, batch, rng):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        return model.apply(variables, batch, rng, train=False, method="losses")
+
+    return jax.jit(eval_step)
