@@ -1,0 +1,72 @@
+"""Eval entry point: render a prediction folder from a checkpoint and score it.
+
+Behavioral reference: python_scripts/create_prediction_folder.py +
+evaluate_prediction_folder.py in malteprinzler/diner: deterministic
+Random(0) subsets, optional --nsamples override scaling n_samples and
+n_gaussian, znear/zfar overridden from the eval dataset, folder scoring.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from pathlib import Path
+
+import jax
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--ckpt", required=True, help="orbax checkpoint dir")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--n", type=int, default=None, help="eval subset size")
+    ap.add_argument("--nsamples", type=int, default=None,
+                    help="override renderer n_samples (scales n_gaussian)")
+    args = ap.parse_args(argv)
+
+    from diner_tpu.cli.build import build_dataset, build_diner
+    from diner_tpu.core.config import load_config
+    from diner_tpu.eval.predict import create_prediction_folder
+    from diner_tpu.eval.suite import evaluate_folder
+    from diner_tpu.train.loop import restore_checkpoint
+    from diner_tpu.train.state import create_train_state
+    from diner_tpu.data.contract import collate, to_device_batch
+
+    conf = load_config(args.config)
+    val_set = build_dataset(conf["data"]["val"], stage="val")
+    model = build_diner(conf, znear=val_set.znear, zfar=val_set.zfar)
+    if args.nsamples:
+        cfg = model.render_cfg
+        scale = args.nsamples / cfg.n_samples
+        model = dataclasses.replace(
+            model, render_cfg=dataclasses.replace(
+                cfg, n_samples=args.nsamples,
+                n_gaussian=int(cfg.n_gaussian * scale)))
+
+    example = to_device_batch(collate([val_set[0]]))
+    state = create_train_state(model, jax.random.PRNGKey(0), example)
+    state, step = restore_checkpoint(args.ckpt, state)
+    print(f"restored step {step} from {args.ckpt}")
+
+    variables = {"params": state.params}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = state.batch_stats
+
+    def render_fn(batch, seed):
+        import jax.numpy as jnp
+
+        arrays = {k: jnp.asarray(v) for k, v in batch.items()
+                  if not isinstance(v, list)}
+        return model.apply(variables, arrays, jax.random.PRNGKey(seed),
+                           method="render_batch")
+
+    out = Path(args.out)
+    visdir = create_prediction_folder(render_fn, val_set, out / "visualizations",
+                                      n_samples=args.n)
+    scores = evaluate_folder(visdir, out)
+    print({k: round(v, 4) for k, v in scores.items()})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Train entry point: `python -m diner_tpu.cli.train <config.yaml> [overrides]`.
+
+Behavioral reference: python_scripts/train.py in malteprinzler/diner (build
+datamodule + DINER + trainer, fit, periodic in-loop eval); plus config/code
+snapshotting into the run dir (src/util/general.py:21-27) for provenance.
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import time
+from pathlib import Path
+
+import jax
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("--logdir", default=None)
+    ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args(argv)
+
+    from diner_tpu.cli.build import build_dataset, build_loader, build_diner
+    from diner_tpu.core.config import load_config
+    from diner_tpu.eval.predict import create_prediction_folder
+    from diner_tpu.eval.suite import evaluate_folder
+    from diner_tpu.train.loop import train, MetricLogger
+
+    conf = load_config(args.config)
+    logdir = Path(args.logdir or conf.get("logger", {}).get("kwargs", {})
+                  .get("save_dir", "outputs/run")) / time.strftime("%Y%m%d_%H%M%S")
+    logdir.mkdir(parents=True, exist_ok=True)
+    shutil.copy(args.config, logdir / "config.yaml")
+
+    train_set = build_dataset(conf["data"]["train"], stage="train")
+    val_set = build_dataset(conf["data"]["val"], stage="val")
+    train_loader = build_loader(conf["data"]["train"], train_set, True)
+    model = build_diner(conf, znear=getattr(train_set, "znear"),
+                        zfar=getattr(train_set, "zfar"))
+
+    trainer_kw = conf.get("trainer", {}).get("kwargs", {})
+    max_steps = args.max_steps or int(trainer_kw.get("max_steps", 100_000))
+    val_every = trainer_kw.get("val_check_interval")
+    n_score = int(conf.get("optimizer", {}).get("kwargs", {})
+                  .get("n_samples_score_eval", 16))
+
+    def val_fn(state, step):
+        eval_dir = logdir / f"eval_{step:06d}"
+        visdir = eval_dir / "visualizations"
+
+        def render_fn(batch, seed):
+            import jax.numpy as jnp
+
+            arrays = {k: jnp.asarray(v) for k, v in batch.items()
+                      if not isinstance(v, list)}
+            variables = {"params": state.params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            return model.apply(variables, arrays, jax.random.PRNGKey(seed),
+                               method="render_batch")
+
+        create_prediction_folder(render_fn, val_set, visdir, n_samples=n_score)
+        scores = evaluate_folder(visdir, eval_dir)
+        MetricLogger(logdir).log(step, {f"valscores_{k}": v
+                                        for k, v in scores.items()})
+
+    train(model, train_loader, logdir,
+          lr=float(conf.get("optimizer", {}).get("kwargs", {}).get("lr", 1e-4)),
+          max_steps=max_steps,
+          ckpt_every=int(conf.get("checkpointing", {}).get("kwargs", {})
+                         .get("every_n_train_steps", 10_000)),
+          val_every=int(val_every) if val_every else None,
+          val_fn=val_fn, resume=args.resume)
+    print(f"training done -> {logdir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Host-side batch loader with background prefetch.
+
+Replaces torch DataLoader (SURVEY.md §3.1 process boundaries): per-host index
+sharding (the DistributedSampler equivalent) + a small thread pool decoding
+PNGs while the device steps — IO overlap without torch worker processes.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Optional
+
+import numpy as np
+
+from diner_tpu.data.contract import collate, to_device_batch
+from diner_tpu.parallel.mesh import process_local_slice
+
+
+class BatchLoader:
+    """Iterable over contract batches. shuffle=True reshuffles per epoch."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, drop_last: bool = True,
+                 num_threads: int = 4, prefetch: int = 2,
+                 shard_across_processes: bool = True,
+                 arrays_only: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.arrays_only = arrays_only
+        if shard_across_processes:
+            self.indices = process_local_slice(len(dataset))
+        else:
+            self.indices = list(range(len(dataset)))
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.indices)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_indices(self):
+        idcs = np.array(self.indices)
+        if self.shuffle:
+            np.random.RandomState(self.seed + self._epoch).shuffle(idcs)
+        return idcs
+
+    def __iter__(self):
+        idcs = self._epoch_indices()
+        self._epoch += 1
+        n_batches = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+
+        def producer():
+            try:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    for b in range(n_batches):
+                        chunk = idcs[b * self.batch_size:(b + 1) * self.batch_size]
+                        samples = list(pool.map(self.dataset.__getitem__, chunk))
+                        batch = collate(samples)
+                        if self.arrays_only:
+                            batch = to_device_batch(batch)
+                        q.put(batch)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item

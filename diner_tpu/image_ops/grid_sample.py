@@ -20,8 +20,10 @@ import math
 import jax.numpy as jnp
 
 
-def _unnormalize(coord, size):
-    """[-1, 1] -> pixel coordinate (centers at 0..size-1), align_corners=False."""
+def _unnormalize(coord, size, align_corners: bool = False):
+    """[-1, 1] -> pixel coordinate (centers at 0..size-1)."""
+    if align_corners:
+        return (coord + 1.0) * 0.5 * (size - 1)
     return (coord + 1.0) * 0.5 * size - 0.5
 
 
@@ -32,7 +34,8 @@ def _gather_hw(img_flat, iy, ix, W):
 
 
 def grid_sample(img, uv, mode: str = "bilinear", padding_mode: str = "border",
-                pad_double_width: float = 20.0, pad_size: int = 40):
+                pad_double_width: float = 20.0, pad_size: int = 40,
+                align_corners: bool = False):
     """Sample `img` at normalized coordinates `uv`.
 
     Args:
@@ -59,8 +62,8 @@ def grid_sample(img, uv, mode: str = "bilinear", padding_mode: str = "border",
         out = _sample_exponential_nearest(imgs, uvs, pad_double_width, pad_size)
         return out.reshape((*batch_shape, N, C))
 
-    ix = _unnormalize(uvs[..., 0], W)  # (B, N)
-    iy = _unnormalize(uvs[..., 1], H)
+    ix = _unnormalize(uvs[..., 0], W, align_corners)  # (B, N)
+    iy = _unnormalize(uvs[..., 1], H, align_corners)
 
     flat = imgs.reshape(B, H * W, C)
 

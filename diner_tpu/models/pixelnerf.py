@@ -76,17 +76,25 @@ class PixelNeRF(nn.Module):
     n_blocks: int = 5
     d_hidden: int = 512
     combine_layer: int = 3
+    # "bfloat16" runs the encoder convs + field MLP in bf16 (params f32);
+    # geometry, sampling, and compositing stay f32.
+    compute_dtype: str = "float32"
+
+    @property
+    def _dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
 
     def setup(self):
         self.encoder = SpatialEncoder(
             backbone=self.backbone, num_layers=self.encoder_layers,
             norm=self.encoder_norm, image_padding=self.image_padding,
-            padding_pe=self.padding_pe)
+            padding_pe=self.padding_pe, dtype=self._dtype)
         d_in = (posenc_dim(3, self.num_freqs) + posenc_dim(1, self.num_freqs) + 3)
         self.mlp = ResnetFC(d_in=d_in, d_out=4, n_blocks=self.n_blocks,
                             d_latent=self.encoder.latent_size,
                             d_hidden=self.d_hidden,
-                            combine_layer=self.combine_layer)
+                            combine_layer=self.combine_layer,
+                            dtype=self._dtype)
 
     def __call__(self, images, depths, depth_stds, extrinsics, intrinsics,
                  xyz, viewdirs, train: bool = False):

@@ -1,0 +1,84 @@
+"""Shared conv blocks for the MVS nets (NHWC / NDHWC, flax).
+
+Behavioral reference: deps/TransMVSNet/models/module.py:24-110 (Conv2d/Conv3d/
+Deconv3d = conv + BN + ReLU) and dcn.py:43-80 (DCN offset+mask branch,
+zero-init so the op starts as a plain masked conv at weight 0.5).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diner_tpu.mvs.ops import deform_conv2d
+
+_kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class ConvBnRelu(nn.Module):
+    ch: int
+    kernel: int = 3
+    stride: int = 1
+    relu: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = self.kernel
+        x = nn.Conv(self.ch, (k, k), strides=(self.stride, self.stride),
+                    padding=[( (k - 1) // 2,) * 2] * 2, use_bias=False,
+                    kernel_init=_kaiming)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5)(x)
+        return nn.relu(x) if self.relu else x
+
+
+class Conv3dBnRelu(nn.Module):
+    ch: int
+    kernel: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = self.kernel
+        p = (k - 1) // 2
+        x = nn.Conv(self.ch, (k, k, k), strides=(self.stride,) * 3,
+                    padding=[(p, p)] * 3, use_bias=False,
+                    kernel_init=_kaiming)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5)(x)
+        return nn.relu(x)
+
+
+class Deconv3dBnRelu(nn.Module):
+    ch: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.ConvTranspose(self.ch, (3, 3, 3), strides=(2, 2, 2),
+                             padding="SAME", use_bias=False,
+                             kernel_init=_kaiming)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5)(x)
+        return nn.relu(x)
+
+
+class DCNLayer(nn.Module):
+    """Deformable conv v2 with learned offset+mask branch (zero-init)."""
+
+    ch: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel
+        taps = k * k
+        om = nn.Conv(3 * taps, (k, k), padding=[((k - 1) // 2,) * 2] * 2,
+                     kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.zeros,
+                     name="conv_offset_mask")(x)
+        o1, o2, m = jnp.split(om, 3, axis=-1)
+        offset = jnp.stack([o1, o2], axis=-1).reshape(*x.shape[:3], 2 * taps)
+        mask = nn.sigmoid(m)
+        weight = self.param("weight", _kaiming, (k, k, x.shape[-1], self.ch))
+        bias = self.param("bias", nn.initializers.zeros, (self.ch,))
+        return deform_conv2d(x, offset, mask, weight, bias)

@@ -42,23 +42,24 @@ class BasicBlock(nn.Module):
     channels: int
     stride: int = 1
     norm: str = "batch"
+    dtype: object = None  # compute dtype for convs (params stay f32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
         y = nn.Conv(self.channels, (3, 3), strides=(self.stride, self.stride),
                     padding=[(1, 1), (1, 1)], use_bias=False,
-                    kernel_init=_conv_init)(x)
+                    kernel_init=_conv_init, dtype=self.dtype)(x)
         y = _Norm(self.norm)(y, train)
         y = nn.relu(y)
         y = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
-                    use_bias=False, kernel_init=_conv_init)(y)
+                    use_bias=False, kernel_init=_conv_init, dtype=self.dtype)(y)
         y = _Norm(self.norm)(y, train)
         if self.stride != 1 or x.shape[-1] != self.channels:
             residual = nn.Conv(self.channels, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, kernel_init=_conv_init,
-                               name="downsample_conv")(x)
+                               dtype=self.dtype, name="downsample_conv")(x)
             residual = _Norm(self.norm, name="downsample_norm")(residual, train)
         return nn.relu(y + residual)
 
@@ -76,6 +77,7 @@ class ResNetTrunk(nn.Module):
     num_layers: int = 4
     norm: str = "batch"
     use_first_pool: bool = True
+    dtype: object = None  # compute dtype for convs (params stay f32)
 
     @property
     def latent_size(self) -> int:
@@ -85,7 +87,8 @@ class ResNetTrunk(nn.Module):
     def __call__(self, x, train: bool = False) -> Sequence:
         blocks = STAGE_BLOCKS[self.backbone]
         y = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, kernel_init=_conv_init, name="conv1")(x)
+                    use_bias=False, kernel_init=_conv_init, dtype=self.dtype,
+                    name="conv1")(x)
         y = _Norm(self.norm, name="norm1")(y, train)
         y = nn.relu(y)
         feats = [y]
@@ -97,7 +100,7 @@ class ResNetTrunk(nn.Module):
             for blk in range(blocks[stage]):
                 stride = 2 if (stage > 0 and blk == 0) else 1
                 y = BasicBlock(STAGE_CHANNELS[stage], stride=stride,
-                               norm=self.norm,
+                               norm=self.norm, dtype=self.dtype,
                                name=f"layer{stage + 1}_block{blk}")(y, train)
             feats.append(y)
         return feats

@@ -26,6 +26,7 @@ class ResnetBlockFC(nn.Module):
 
     size_out: Optional[int] = None
     size_h: Optional[int] = None
+    dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x):
@@ -33,12 +34,15 @@ class ResnetBlockFC(nn.Module):
         size_out = self.size_out or size_in
         size_h = self.size_h or min(size_in, size_out)
 
-        net = nn.Dense(size_h, kernel_init=_kaiming_exact)(nn.relu(x))
-        dx = nn.Dense(size_out, kernel_init=nn.initializers.zeros)(nn.relu(net))
+        net = nn.Dense(size_h, kernel_init=_kaiming_exact,
+                       dtype=self.dtype)(nn.relu(x))
+        dx = nn.Dense(size_out, kernel_init=nn.initializers.zeros,
+                      dtype=self.dtype)(nn.relu(net))
         if size_in == size_out:
             x_s = x
         else:
-            x_s = nn.Dense(size_out, use_bias=False, kernel_init=_kaiming_exact)(x)
+            x_s = nn.Dense(size_out, use_bias=False, kernel_init=_kaiming_exact,
+                           dtype=self.dtype)(x)
         return x_s + dx
 
 
@@ -56,10 +60,13 @@ class ResnetFC(nn.Module):
     d_latent: int = 0
     d_hidden: int = 128
     combine_layer: int = 1000
+    dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, zx, combine_axis: int = 1):
         assert zx.shape[-1] == self.d_latent + self.d_in
+        if self.dtype is not None:
+            zx = zx.astype(self.dtype)
         if self.d_latent > 0:
             z = zx[..., : self.d_latent]
             x = zx[..., self.d_latent:]
@@ -68,7 +75,8 @@ class ResnetFC(nn.Module):
             x = zx
 
         if self.d_in > 0:
-            x = nn.Dense(self.d_hidden, kernel_init=_kaiming_exact, name="lin_in")(x)
+            x = nn.Dense(self.d_hidden, kernel_init=_kaiming_exact,
+                         dtype=self.dtype, name="lin_in")(x)
         else:
             x = jnp.zeros((*zx.shape[:-1], self.d_hidden), zx.dtype)
 
@@ -77,8 +85,10 @@ class ResnetFC(nn.Module):
                 x = jnp.mean(x, axis=combine_axis)
             if self.d_latent > 0 and blkid < self.combine_layer:
                 tz = nn.Dense(self.d_hidden, kernel_init=_kaiming_exact,
-                              name=f"lin_z_{blkid}")(z)
+                              dtype=self.dtype, name=f"lin_z_{blkid}")(z)
                 x = x + tz
-            x = ResnetBlockFC(name=f"block_{blkid}")(x)
+            x = ResnetBlockFC(dtype=self.dtype, name=f"block_{blkid}")(x)
 
-        return nn.Dense(self.d_out, kernel_init=_kaiming_exact, name="lin_out")(nn.relu(x))
+        out = nn.Dense(self.d_out, kernel_init=_kaiming_exact, dtype=self.dtype,
+                       name="lin_out")(nn.relu(x))
+        return out.astype(jnp.float32)

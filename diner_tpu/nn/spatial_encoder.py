@@ -33,6 +33,7 @@ class SpatialEncoder(nn.Module):
     use_first_pool: bool = True
     image_padding: int = 0
     padding_pe: int = -1  # num_freqs of the border PE; <0 disables
+    dtype: object = None  # compute dtype for the trunk (params stay f32)
 
     @property
     def latent_size(self) -> int:
@@ -71,7 +72,7 @@ class SpatialEncoder(nn.Module):
 
         feats = ResNetTrunk(backbone=self.backbone, num_layers=self.num_layers,
                             norm=self.norm, use_first_pool=self.use_first_pool,
-                            name="trunk")(imgs, train)
+                            dtype=self.dtype, name="trunk")(imgs, train)
         out_hw = feats[0].shape[1:3]
         feats = [f if f.shape[1:3] == out_hw
                  else resize_bilinear_align_corners(f, out_hw) for f in feats]

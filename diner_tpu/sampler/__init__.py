@@ -3,6 +3,7 @@ from diner_tpu.sampler.depth_guided import (
     surface_likelihoods,
     sample_depthguided,
     fill_uniform,
+    gather_priors,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "surface_likelihoods",
     "sample_depthguided",
     "fill_uniform",
+    "gather_priors",
 ]

@@ -1,0 +1,129 @@
+"""Training loop: data-parallel steps, orbax checkpoints, eval-in-the-loop.
+
+Behavioral reference: python_scripts/train.py + the Lightning wiring in
+src/models/diner.py:292-330 of malteprinzler/diner — per-step loss logging,
+periodic checkpoints (every_n_train_steps=10000), periodic validation that
+renders a deterministic subset to a folder, scores it (PSNR/SSIM/...), and
+writes cam-sweep videos; rank-zero-only side effects.
+
+TPU-native shape: one jitted train step consuming host-sharded batches; orbax
+for checkpoints; JSONL metric log (plus TensorBoard if available).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from diner_tpu.parallel import make_mesh, shard_batch, replicate
+from diner_tpu.train.state import create_train_state
+from diner_tpu.train.step import make_train_step, make_eval_step
+
+
+class MetricLogger:
+    """JSONL metrics file, one object per step (host 0 only)."""
+
+    def __init__(self, logdir):
+        self.path = Path(logdir) / "metrics.jsonl"
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._f = open(self.path, "a")
+
+    def log(self, step: int, scalars: dict):
+        rec = {"step": int(step)}
+        rec.update({k: float(v) for k, v in scalars.items()})
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+
+def save_checkpoint(ckpt_dir, state, step: int):
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = Path(ckpt_dir).resolve()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    with ocp.CheckpointManager(str(ckpt_dir)) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(
+            {"params": state.params,
+             "batch_stats": state.batch_stats or {},
+             "step": np.asarray(step)}), force=True)
+
+
+def restore_checkpoint(ckpt_dir, state, step: Optional[int] = None):
+    """Restore params/batch_stats into `state`; returns (state, step)."""
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = Path(ckpt_dir).resolve()
+    with ocp.CheckpointManager(str(ckpt_dir)) as mgr:
+        step = mgr.latest_step() if step is None else step
+        if step is None:
+            return state, 0
+        target = {"params": state.params,
+                  "batch_stats": state.batch_stats or {},
+                  "step": np.asarray(0)}
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
+    state = state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"] or None,
+        step=int(restored["step"]))
+    return state, int(restored["step"])
+
+
+def train(model, train_batches: Iterable, logdir, *,
+          example_batch=None, lr: float = 1e-4, max_steps: int = 100,
+          log_every: int = 50, ckpt_every: int = 10_000,
+          val_every: Optional[int] = None,
+          val_fn: Optional[Callable] = None,
+          resume: bool = False, mesh=None, seed: int = 0):
+    """Generic loop. `train_batches` yields contract batches (numpy, global
+    batch across hosts not yet split: shard_batch places them on the mesh).
+    `val_fn(state, step)` runs rank-zero validation side effects."""
+    logdir = Path(logdir)
+    logdir.mkdir(parents=True, exist_ok=True)
+    logger = MetricLogger(logdir)
+    mesh = mesh or make_mesh(axis_names=("data",))
+
+    it = iter(train_batches)
+    if example_batch is None:
+        example_batch = next(it)
+
+    rng = jax.random.PRNGKey(seed)
+    state = create_train_state(model, rng, example_batch, lr=lr)
+    start_step = 0
+    if resume:
+        state, start_step = restore_checkpoint(logdir / "ckpts", state)
+    state = state.replace(params=replicate(state.params, mesh),
+                          opt_state=replicate(state.opt_state, mesh))
+
+    step_fn = make_train_step(model)
+    is_host0 = jax.process_index() == 0
+    t0 = time.perf_counter()
+
+    step = start_step
+    for step in range(start_step, max_steps):
+        try:
+            batch = next(it)
+        except StopIteration:
+            it = iter(train_batches)
+            batch = next(it)
+        batch = shard_batch(batch, mesh)
+        rng, key = jax.random.split(rng)
+        state, losses = step_fn(state, batch, key)
+
+        if is_host0 and (step % log_every == 0 or step == max_steps - 1):
+            scalars = {k: float(v) for k, v in losses.items()}
+            scalars["steps_per_sec"] = (log_every or 1) / max(
+                time.perf_counter() - t0, 1e-9)
+            t0 = time.perf_counter()
+            logger.log(step, scalars)
+        if is_host0 and ckpt_every and step > 0 and step % ckpt_every == 0:
+            save_checkpoint(logdir / "ckpts", state, step)
+        if val_every and val_fn and step > 0 and step % val_every == 0 and is_host0:
+            val_fn(state, step)
+
+    if is_host0:
+        save_checkpoint(logdir / "ckpts", state, step + 1 if max_steps else 0)
+    return state

@@ -77,3 +77,19 @@ def test_exponential_pad_values():
     np.testing.assert_allclose(out[0, 1, 5, 0], 2.0)   # dist 1 -> x2
     np.testing.assert_allclose(out[0, 0, 5, 0], 4.0)   # dist 2 -> x4
     np.testing.assert_allclose(out[0, 0, 0, 0], 4.0)   # corner: chebyshev dist
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "nearest"])
+@pytest.mark.parametrize("padding", ["border", "zeros"])
+def test_matches_torch_align_corners_true(mode, padding):
+    B, H, W, C, N = 2, 11, 15, 4, 150
+    img = _rand((B, H, W, C), 7)
+    uv = (_rand((B, N, 2), 8) * 1.5).astype(np.float32)
+    ours = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(uv), mode=mode,
+                                  padding_mode=padding, align_corners=True))
+    t_img = torch.from_numpy(np.moveaxis(img, -1, 1).copy())
+    t_uv = torch.from_numpy(uv[:, :, None, :].copy())
+    ref = F.grid_sample(t_img, t_uv, mode=mode, padding_mode=padding,
+                        align_corners=True)
+    ref = np.moveaxis(ref.numpy()[:, :, :, 0], 1, -1)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)

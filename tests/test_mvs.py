@@ -1,0 +1,174 @@
+"""MVS subsystem: deform-conv equivalence, homography-warp golden values,
+cascade forward shapes, entropy loss, write_prediction contract."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from diner_tpu.mvs import (
+    deform_conv2d, homo_warping, depth_range_samples, depth_wta,
+    TransMVSNet, entropy_loss, mvs_loss,
+)
+
+
+def _rand(shape, seed):
+    return np.random.RandomState(seed).randn(*shape).astype(np.float32)
+
+
+def test_deform_conv_zero_offset_full_mask_equals_conv():
+    """With zero offsets and mask=1, deform_conv2d == plain 3x3 conv."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    N, H, W, C, O = 2, 8, 10, 4, 6
+    x = _rand((N, H, W, C), 0)
+    w = _rand((3, 3, C, O), 1) * 0.2
+    offset = jnp.zeros((N, H, W, 18))
+    mask = jnp.ones((N, H, W, 9))
+    out = np.asarray(deform_conv2d(jnp.asarray(x), offset, mask, jnp.asarray(w)))
+
+    tw = torch.from_numpy(np.transpose(w, (3, 2, 0, 1)).copy())  # OIHW
+    tx = torch.from_numpy(np.moveaxis(x, -1, 1).copy())
+    ref = np.moveaxis(F.conv2d(tx, tw, padding=1).numpy(), 1, -1)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_deform_conv_offset_shifts_samples():
+    """Integer offset (dy=0, dx=1) shifts the effective input one pixel."""
+    N, H, W = 1, 6, 6
+    x = np.zeros((N, H, W, 1), np.float32)
+    x[0, 3, 4, 0] = 1.0
+    w = np.zeros((1, 1, 1, 1), np.float32)
+    w[0, 0, 0, 0] = 1.0
+    offset = np.zeros((N, H, W, 2), np.float32)
+    offset[..., 1] = 1.0  # dx = +1
+    mask = np.ones((N, H, W, 1), np.float32)
+    out = np.asarray(deform_conv2d(jnp.asarray(x), jnp.asarray(offset),
+                                   jnp.asarray(mask), jnp.asarray(w)))
+    assert out[0, 3, 3, 0] == 1.0  # reads from x+1
+    assert out[0, 3, 4, 0] == 0.0
+
+
+def test_homo_warping_identity():
+    """Identical projections + any depth -> warped == source features."""
+    B, H, W, C, D = 1, 8, 10, 3, 4
+    fea = jnp.asarray(_rand((B, H, W, C), 2))
+    K = np.eye(4, dtype=np.float32)[None]
+    K[:, 0, 0] = K[:, 1, 1] = 20.0
+    K[:, 0, 2], K[:, 1, 2] = W / 2, H / 2
+    proj = jnp.asarray(K)
+    depths = jnp.broadcast_to(jnp.linspace(1.0, 2.0, D)[None], (B, D))
+    warped = homo_warping(fea, proj, proj, depths)
+    assert warped.shape == (B, D, H, W, C)
+    for d in range(D):
+        np.testing.assert_allclose(np.asarray(warped[0, d]), np.asarray(fea[0]),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_homo_warping_translation():
+    """A source camera shifted along x warps features by the disparity f*t/d."""
+    B, H, W, C = 1, 16, 16, 1
+    f = 16.0
+    fea = np.zeros((B, H, W, C), np.float32)
+    fea[0, 8, 10, 0] = 1.0
+    K = np.array([[f, 0, 8], [0, f, 8], [0, 0, 1]], np.float32)
+
+    def proj(tx):
+        P = np.eye(4, dtype=np.float32)
+        P[:3, :3] = K @ np.eye(3, dtype=np.float32)
+        P[:3, 3] = K @ np.array([tx, 0, 0], np.float32)
+        return jnp.asarray(P[None])
+
+    d0 = 2.0
+    tx = 0.25  # disparity = f * tx / d0 = 2 px
+    depths = jnp.full((1, 1), d0)
+    warped = np.asarray(homo_warping(jnp.asarray(fea), proj(tx), proj(0.0),
+                                     depths))
+    # ref pixel (y=8, x=8) sees the src feature at x = 8 + 2 = 10
+    assert warped[0, 0, 8, 8, 0] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_depth_range_samples_full_and_refine():
+    full = depth_range_samples(jnp.asarray([[1.0, 3.0]]), 5, None, (1, 4, 4))
+    assert full.shape == (1, 5, 4, 4)
+    np.testing.assert_allclose(np.asarray(full[0, :, 0, 0]),
+                               [1.0, 1.5, 2.0, 2.5, 3.0], rtol=1e-6)
+    cur = jnp.full((1, 4, 4), 2.0)
+    ref = depth_range_samples(cur, 4, 0.1, (1, 4, 4))
+    assert ref.shape == (1, 4, 4, 4)
+    np.testing.assert_allclose(np.asarray(ref[0, :, 0, 0]),
+                               [1.8, 1.8 + 0.4 / 3, 1.8 + 0.8 / 3, 2.2],
+                               rtol=1e-5)
+
+
+def test_depth_wta_golden():
+    p = jnp.asarray(np.array([[[[0.1]], [[0.7]], [[0.2]]]], np.float32))
+    dv = jnp.asarray(np.array([[[[1.0]], [[2.0]], [[3.0]]]], np.float32))
+    assert float(depth_wta(p, dv)[0, 0, 0]) == 2.0
+
+
+def test_entropy_loss_golden():
+    """Perfect prob volume at the gt bin -> loss ~ -log(1)."""
+    B, D, H, W = 1, 4, 2, 2
+    dv = jnp.broadcast_to(jnp.linspace(1.0, 4.0, D)[None, :, None, None],
+                          (B, D, H, W))
+    gt = jnp.full((B, H, W), 2.0)  # bin index 1
+    pv = jnp.zeros((B, D, H, W)).at[:, 1].set(1.0)
+    mask = jnp.ones((B, H, W), bool)
+    loss, wta = entropy_loss(pv, gt, mask, dv)
+    np.testing.assert_allclose(float(loss), -np.log(1 + 1e-6), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wta), 2.0)
+
+
+def test_cascade_forward_and_loss():
+    """Tiny full cascade: shapes, confidence range, loss finiteness, and the
+    depth staying inside the hypothesis range."""
+    B, V, H, W = 1, 3, 32, 32
+    net = TransMVSNet(ndepths=(8, 8, 8), depth_intervals_ratio=(4, 2, 1),
+                      cr_base_chs=(4, 4, 4), base_channels=4)
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(B, V, H, W, 3).astype(np.float32))
+
+    from diner_tpu.mvs.write_prediction import make_proj_matrices
+
+    exts = np.tile(np.eye(4, dtype=np.float32), (B, V, 1, 1))
+    exts[:, 1, 0, 3] = 0.1
+    exts[:, 2, 0, 3] = -0.1
+    K = np.zeros((B, V, 3, 3), np.float32)
+    K[..., 0, 0] = K[..., 1, 1] = 40.0
+    K[..., 0, 2], K[..., 1, 2], K[..., 2, 2] = W / 2, H / 2, 1.0
+    projs = {k: jnp.asarray(v) for k, v in make_proj_matrices(exts, K).items()}
+    depth_values = jnp.broadcast_to(jnp.linspace(1.0, 3.0, 48)[None], (B, 48))
+
+    variables = net.init(jax.random.PRNGKey(0), imgs, projs, depth_values)
+    out = net.apply(variables, imgs, projs, depth_values)
+    assert out["depth"].shape == (B, H, W)
+    assert out["stage1"]["depth"].shape == (B, H // 4, W // 4)
+    conf = np.asarray(out["photometric_confidence"])
+    assert (conf >= 0).all() and (conf <= 1).all()
+    d = np.asarray(out["depth"])
+    assert d.min() >= 0.5 and d.max() <= 3.5
+    assert not np.isnan(d).any()
+
+    gt = {f"stage{i+1}": jnp.full((B, H // s, W // s), 2.0)
+          for i, s in enumerate((4, 2, 1))}
+    msk = {k: jnp.ones_like(v) for k, v in gt.items()}
+    total, aux = mvs_loss(out, gt, msk)
+    assert np.isfinite(float(total))
+    assert "depth_loss" in aux
+
+
+def test_write_prediction_contract(tmp_path):
+    from diner_tpu.mvs.write_prediction import write_depth_prediction
+    from diner_tpu.data.codecs import read_depth_png
+
+    depth = np.random.RandomState(0).rand(16, 20).astype(np.float32) + 0.5
+    conf = np.random.RandomState(1).rand(16, 20).astype(np.float32)
+    dpath = tmp_path / "depth_map_0030.png"
+    out = write_depth_prediction(depth, conf, dpath, scale=2.0)
+    assert out.name == "depth_map_0030_TransMVSNet.png"
+    back = read_depth_png(out)
+    np.testing.assert_allclose(back, depth / 2.0, atol=1e-4)
+    assert (tmp_path / "depth_map_0030_TransMVSNet_conf.png").exists()
+    assert (tmp_path / "depth_map_0030_TransMVSNet_vis.png").exists()

@@ -148,3 +148,29 @@ def test_sample_depthguided_no_surface_falls_back_uniform():
     z = np.asarray(sample_depthguided(jax.random.PRNGKey(0), rays, enc, cfg))[0, 0]
     lo = 1.0 + np.arange(16) * (2.0 / 16)
     assert (z >= lo - 1e-5).all() and (z <= lo + 2.0 / 16 + 1e-5).all()
+
+
+def test_gather_priors_matches_separate_indexers():
+    """The fused single-gather path must equal the three index_* calls exactly,
+    including out-of-frame behavior of each padding mode."""
+    from diner_tpu.sampler import gather_priors
+    from diner_tpu.models import index_depth, index_depth_std, index_normal
+
+    rng = np.random.RandomState(0)
+    SB, NV, H, W, N = 2, 3, 20, 24, 500
+    enc = _make_enc(SB=SB, NV=NV, H=H, W=W)
+    # structured maps so mismatches are visible
+    enc = enc.replace(
+        depths=jnp.asarray(rng.rand(SB, NV, H, W, 1).astype(np.float32) + 0.5),
+        depth_stds=jnp.asarray(rng.rand(SB, NV, H, W, 1).astype(np.float32) * 0.1),
+        normals=jnp.asarray(rng.randn(SB, NV, H, W, 3).astype(np.float32)))
+    # coordinates spanning inside, slightly-outside, and beyond-pad regions
+    uv = jnp.asarray((rng.rand(SB, NV, N, 2).astype(np.float32) * 2 - 1) * 12.0)
+
+    d, s, n = gather_priors(enc, uv)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(index_depth(enc, uv)[..., 0]),
+                               rtol=1e-6, atol=0)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(index_depth_std(enc, uv)[..., 0]),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(n), np.asarray(index_normal(enc, uv)),
+                               rtol=1e-6, atol=0)
