@@ -1,0 +1,109 @@
+"""Fusion subsystem: consistency round-trips, consensus fusion, PLY IO."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from diner_tpu.fusion import (
+    check_geometric_consistency, filter_depths, consensus_fusion,
+    write_ply, read_ply,
+)
+from diner_tpu.fusion.consistency import depths_to_world_points
+
+
+def _two_view_plane(H=16, W=16, f=16.0, z0=2.0, tx=0.1):
+    """Two cameras seeing the plane z = z0 (view 1 shifted by tx)."""
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    e0 = np.eye(4, dtype=np.float32)
+    e1 = np.eye(4, dtype=np.float32)
+    e1[0, 3] = -tx  # camera at x=+tx -> world->cam translation -tx... (cam at +tx)
+    d = np.full((H, W), z0, np.float32)
+    return (jnp.asarray(np.stack([d, d])),
+            jnp.asarray(np.stack([K, K])),
+            jnp.asarray(np.stack([e0, e1])))
+
+
+def test_consistency_accepts_true_geometry():
+    depths, Ks, exts = _two_view_plane()
+    mask, dep = check_geometric_consistency(depths[0], Ks[0], exts[0],
+                                            depths[1], Ks[1], exts[1])
+    m = np.asarray(mask)
+    # central pixels (which project inside the other view) must be consistent
+    assert m[4:-4, 4:-4].all()
+    np.testing.assert_allclose(np.asarray(dep)[4:-4, 4:-4], 2.0, rtol=1e-4)
+
+
+def test_consistency_rejects_wrong_depth():
+    depths, Ks, exts = _two_view_plane()
+    wrong = depths.at[0].mul(1.2)  # ref depth off by 20%
+    mask, _ = check_geometric_consistency(wrong[0], Ks[0], exts[0],
+                                          depths[1], Ks[1], exts[1])
+    assert not np.asarray(mask)[4:-4, 4:-4].any()
+
+
+def test_filter_depths_multi_view():
+    H = W = 16
+    K = np.array([[16.0, 0, 8], [0, 16.0, 8], [0, 0, 1]], np.float32)
+    exts = [np.eye(4, dtype=np.float32) for _ in range(4)]
+    for i, tx in enumerate([0.0, 0.05, -0.05, 0.1]):
+        exts[i][0, 3] = tx
+    depths = jnp.asarray(np.full((4, H, W), 2.0, np.float32))
+    conf = jnp.ones((4, H, W)) * 0.9
+    avg, final = filter_depths(depths, jnp.asarray(np.stack([K] * 4)),
+                               jnp.asarray(np.stack(exts)), conf,
+                               conf_thresh=0.5, thres_view=3)
+    assert np.asarray(final)[:, 6:-6, 6:-6].all()
+    np.testing.assert_allclose(np.asarray(avg)[:, 6:-6, 6:-6], 2.0, rtol=1e-4)
+    # low confidence kills acceptance
+    _, final2 = filter_depths(depths, jnp.asarray(np.stack([K] * 4)),
+                              jnp.asarray(np.stack(exts)), conf * 0.1)
+    assert not np.asarray(final2).any()
+
+
+def test_consensus_fusion_plane():
+    H = W = 16
+    K = np.array([[16.0, 0, 8], [0, 16.0, 8], [0, 0, 1]], np.float32)
+    exts = [np.eye(4, dtype=np.float32) for _ in range(4)]
+    for i, tx in enumerate([0.0, 0.05, -0.05, 0.1]):
+        exts[i][0, 3] = tx
+    depths = jnp.asarray(np.full((4, H, W), 2.0, np.float32))
+    colors = jnp.ones((4, H, W, 3)) * 0.5
+    out = consensus_fusion(depths, jnp.asarray(np.stack([K] * 4)),
+                           jnp.asarray(np.stack(exts)), colors=colors,
+                           depth_thresh=0.01, num_consistent=3)
+    keep = np.asarray(out["keep"])
+    pts = np.asarray(out["points"])[keep]
+    assert keep.sum() > 100
+    np.testing.assert_allclose(pts[:, 2], 2.0, atol=1e-3)  # plane at z=2
+    cols = np.asarray(out["colors"])[keep]
+    np.testing.assert_allclose(cols, 0.5, atol=1e-5)
+
+
+def test_ply_roundtrip_native_and_python(tmp_path):
+    rng = np.random.RandomState(0)
+    pts = rng.randn(1000, 3).astype(np.float32)
+    cols = rng.randint(0, 255, (1000, 3), dtype=np.uint8)
+    nrm = rng.randn(1000, 3).astype(np.float32)
+
+    p1 = write_ply(tmp_path / "native.ply", pts, cols, nrm, use_native=True)
+    p2 = write_ply(tmp_path / "python.ply", pts, cols, nrm, use_native=False)
+    # identical bytes from both writers
+    assert p1.read_bytes() == p2.read_bytes()
+
+    back = read_ply(p1)
+    np.testing.assert_array_equal(back["points"], pts)
+    np.testing.assert_array_equal(back["colors"], cols)
+    np.testing.assert_array_equal(back["normals"], nrm)
+
+
+def test_depths_to_world_points():
+    H = W = 8
+    K = np.array([[8.0, 0, 4], [0, 8.0, 4], [0, 0, 1]], np.float32)
+    ext = np.eye(4, dtype=np.float32)[None]
+    depths = np.full((1, H, W), 2.0, np.float32)
+    colors = np.ones((1, H, W, 3), np.float32)
+    mask = np.zeros((1, H, W), bool)
+    mask[0, 4, 4] = True
+    pts, cols = depths_to_world_points(depths, K[None], ext, colors, mask)
+    assert pts.shape == (1, 3)
+    np.testing.assert_allclose(pts[0, 2], 2.0)
+    assert cols[0, 0] == 255
