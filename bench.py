@@ -38,7 +38,8 @@ def main():
 
     model = PixelNeRF(encoder_layers=4, encoder_norm="group",
                       image_padding=16, padding_pe=4,
-                      n_blocks=5, d_hidden=512, combine_layer=3)
+                      n_blocks=5, d_hidden=512, combine_layer=3,
+                      compute_dtype="bfloat16")
     cfg = RenderConfig(n_samples=40, n_depth_candidates=1000, n_gaussian=15)
 
     ds = SyntheticSphereDataset(n_scenes=1, n_views=4, H=H, W=W)
@@ -63,15 +64,23 @@ def main():
             lambda p, d: model.apply(variables, enc, p, d, method="field"),
             rng, rays, enc, cfg, chunk=CHUNK)
 
-    for i in range(WARMUP):
+    import numpy as np
+
+    def run(i):
         rgb, depth = render(variables, batch, jax.random.PRNGKey(i))
-        jax.block_until_ready(rgb)
+        jax.block_until_ready((rgb, depth))
+        # force host readback: the axon remote tunnel pipelines one call deep,
+        # so block_until_ready alone can report the previous call's completion
+        np.asarray(rgb.ravel()[0])
+        return rgb, depth
+
+    for i in range(WARMUP):
+        run(i)
 
     n_rays = H * W
     t0 = time.perf_counter()
     for i in range(ITERS):
-        rgb, depth = render(variables, batch, jax.random.PRNGKey(100 + i))
-        jax.block_until_ready(rgb)
+        run(100 + i)
     dt = (time.perf_counter() - t0) / ITERS
 
     rays_per_sec = n_rays / dt

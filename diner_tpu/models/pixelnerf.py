@@ -118,6 +118,10 @@ class PixelNeRF(nn.Module):
 
         latent = self.encoder(x.reshape(SB * NV, H, W, 3), train=train)
         latent = latent.reshape(SB, NV, *latent.shape[1:])
+        if self._dtype is not None:
+            # store the pixel-aligned features in bf16: halves the bytes the
+            # render-time bilinear gathers read from HBM (the field hot path)
+            latent = latent.astype(self._dtype)
 
         focal = intrinsics[..., jnp.array([0, 1]), jnp.array([0, 1])]
         c = intrinsics[..., :2, 2]

@@ -1,0 +1,150 @@
+"""MVS training/inference datasets (the TransMVSNet-side data layer).
+
+Behavioral reference: deps/TransMVSNet/datasets/dtu_yao.py in
+malteprinzler/diner. DTU with the 4-view *corner configuration*: reference/
+source views come from fixed corner-camera id tables (tl/bl/tr/br,
+dtu_yao.py:27-46); 7 lights for training, light 3 for val; 1600x1200 images
+are half-sized then center-ish cropped to 512x640 (prepare_img,
+dtu_yao.py:100-112); GT depth/mask pyramids at /4, /2, /1 (nearest); proj
+matrices are (2, 4, 4) [extrinsics, intrinsics] stacks with stage-scaled
+intrinsics (stage1 = the cam file's quarter-res K; x2, x4 for stages 2/3).
+
+Output batch dict (numpy, NHWC):
+  imgs (V, 512, 640, 3), proj_matrices {stage1..3: (V, 2, 4, 4)},
+  depth_values (D,), depth {stage1..3}, mask {stage1..3}, dpath (str).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from diner_tpu.core.config import register
+from diner_tpu.data.codecs import read_pfm
+
+# Corner-camera id tables (dtu_yao.py:27-32).
+_TL = [10, 0, 1, 2, 9, 13, 12, 11, 10]
+_BL = [30, 27, 26, 25, 31, 45, 46, 47, 29]
+_TR = [6, 2, 3, 4, 5, 18, 17, 16, 7]
+_BR = [35, 22, 21, 20, 36, 40, 41, 42, 34]
+
+
+def corner_view_metas(mode: str):
+    """[(target_id, [src ids x3])]: each corner's cams vs the other corners."""
+    tl, bl, tr, br = (_TL, _BL, _TR, _BR) if mode == "train" else (
+        _TL[:1], _BL[:1], _TR[:1], _BR[:1])
+    targets = tl + bl + tr + br
+    srcs = ([list(t) for t in zip(bl, tr, br)]
+            + [list(t) for t in zip(tl, tr, br)]
+            + [list(t) for t in zip(tl, bl, br)]
+            + [list(t) for t in zip(tl, bl, tr)])
+    return list(zip(targets, srcs))
+
+
+def prepare_img(hr_img):
+    """1600x1200 -> /2 -> crop to 512x640 (dtu_yao.py:100-112)."""
+    h, w = hr_img.shape[:2]
+    ds = hr_img[::2, ::2] if (h, w) == (1200, 1600) else hr_img
+    h, w = ds.shape[:2]
+    start_h, start_w = (h - 512) // 2, (w - 640) // 2
+    return ds[start_h:start_h + 512, start_w:start_w + 640]
+
+
+def _pyramid(img, nearest=True):
+    h, w = img.shape[:2]
+    out = {"stage3": img}
+    for stage, s in (("stage2", 2), ("stage1", 4)):
+        ys = (np.arange(h // s) * s).astype(np.int64)
+        xs = (np.arange(w // s) * s).astype(np.int64)
+        out[stage] = img[ys][:, xs]
+    return out
+
+
+@register("DTUMVSDataset")
+class DTUMVSDataset:
+    """DTU for MVS training / depth-prior writing."""
+
+    def __init__(self, datapath, listfile, mode: str = "train", nviews: int = 4,
+                 ndepths: int = 192, interval_scale: float = 1.06):
+        assert nviews == 4
+        self.datapath = Path(datapath)
+        self.mode = mode
+        self.ndepths = ndepths
+        self.interval_scale = interval_scale
+        scans = [ln.strip() for ln in Path(listfile).read_text().splitlines()
+                 if ln.strip()]
+        lights = range(7) if mode == "train" else [3]
+        self.metas = [(scan, light, t, s)
+                      for scan in scans
+                      for t, s in corner_view_metas(mode)
+                      for light in lights]
+
+    def __len__(self):
+        return len(self.metas)
+
+    def _read_cam(self, path):
+        lines = [ln.rstrip() for ln in Path(path).read_text().splitlines()]
+        ext = np.fromstring(" ".join(lines[1:5]), dtype=np.float32, sep=" ").reshape(4, 4)
+        K = np.fromstring(" ".join(lines[7:10]), dtype=np.float32, sep=" ").reshape(3, 3)
+        depth_min = float(lines[11].split()[0])
+        depth_interval = float(lines[11].split()[1]) * self.interval_scale
+        return K, ext, depth_min, depth_interval
+
+    def __getitem__(self, idx):
+        from PIL import Image
+
+        scan, light, target, srcs = self.metas[idx]
+        view_ids = [target] + list(srcs)
+
+        imgs, projs = [], []
+        depth_values = None
+        depth_ms = mask_ms = None
+        dpath = None
+        for i, vid in enumerate(view_ids):
+            img_p = (self.datapath / f"Rectified/{scan}_train" /
+                     f"rect_{vid + 1:03d}_{light}_r5000.png")
+            img = np.asarray(Image.open(img_p), np.float32) / 255.0
+            imgs.append(prepare_img(img))
+
+            K, ext, dmin, dint = self._read_cam(
+                self.datapath / "Cameras/train" / f"{vid:08d}_cam.txt")
+            proj = np.stack([ext, np.block([[K, np.zeros((3, 1))],
+                                            [np.zeros((1, 3)), np.ones((1, 1))]]
+                                           ).astype(np.float32)])
+            projs.append(proj)
+
+            if i == 0:
+                depth_values = (dmin + np.arange(self.ndepths, dtype=np.float32)
+                                * dint)
+                dpath = str(self.datapath / "Depths" / scan /
+                            f"depth_map_{vid:04d}.pfm")
+                gt_p = Path(dpath)
+                if gt_p.exists():
+                    d = prepare_img(read_pfm(gt_p)[0])
+                    depth_ms = _pyramid(d)
+                    mask_ms = {k: (v > 0).astype(np.float32)
+                               for k, v in depth_ms.items()}
+
+        projs = np.stack(projs)  # (V, 2, 4, 4), intrinsics at 1/4 res
+        proj_ms = {"stage1": projs}
+        s2 = projs.copy()
+        s2[:, 1, :2] *= 2
+        proj_ms["stage2"] = s2
+        s3 = projs.copy()
+        s3[:, 1, :2] *= 4
+        proj_ms["stage3"] = s3
+
+        sample = {
+            "imgs": np.stack(imgs),
+            "proj_matrices": proj_ms,
+            "depth_values": depth_values,
+            "dpath": dpath,
+            "view_ids": np.asarray(view_ids),
+            "scan": scan,
+            "light_idx": light,
+        }
+        if depth_ms is not None:
+            sample["depth"] = depth_ms
+            sample["mask"] = mask_ms
+        return sample

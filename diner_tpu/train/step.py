@@ -8,6 +8,7 @@ the TPU-native equivalent of the reference's DDP/NCCL loop (SURVEY.md §5.8).
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 
 def make_train_step(model):
@@ -28,6 +29,12 @@ def make_train_step(model):
             return out["total"], (out, None)
 
         grads, (loss_dict, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        # NaN guard: skip the update on non-finite loss (the reference raises
+        # NanError and skips the batch, deps/TransMVSNet/train.py:213-227).
+        finite = jnp.isfinite(loss_dict["total"])
+        grads = jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads)
+        loss_dict = dict(loss_dict)
+        loss_dict["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
         state = state.apply_gradients(grads=grads, batch_stats=new_stats)
         return state, loss_dict
 
