@@ -39,7 +39,7 @@ def main():
     model = PixelNeRF(encoder_layers=4, encoder_norm="group",
                       image_padding=16, padding_pe=4,
                       n_blocks=5, d_hidden=512, combine_layer=3,
-                      compute_dtype="bfloat16")
+                      compute_dtype="bfloat16", quad_latent=True)
     cfg = RenderConfig(n_samples=40, n_depth_candidates=1000, n_gaussian=15)
 
     ds = SyntheticSphereDataset(n_scenes=1, n_views=4, H=H, W=W)

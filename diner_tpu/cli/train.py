@@ -34,6 +34,16 @@ def main(argv=None):
                   .get("save_dir", "outputs/run")) / time.strftime("%Y%m%d_%H%M%S")
     logdir.mkdir(parents=True, exist_ok=True)
     shutil.copy(args.config, logdir / "config.yaml")
+    # provenance (the reference snapshots config + src/ into the run dir,
+    # src/util/general.py:21-27; a git hash serves the same purpose here)
+    try:
+        import subprocess
+
+        rev = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
+                             text=True, cwd=Path(__file__).parent).stdout.strip()
+        (logdir / "GIT_REVISION").write_text(rev + "\n")
+    except Exception:
+        pass
 
     train_set = build_dataset(conf["data"]["train"], stage="train")
     val_set = build_dataset(conf["data"]["val"], stage="val")

@@ -28,6 +28,9 @@ class SceneEncoding:
     poses: jnp.ndarray        # (SB, NV, 4, 4) world->cam extrinsics
     focal: jnp.ndarray        # (SB, NV, 2) [fx, fy]
     c: jnp.ndarray            # (SB, NV, 2) [cx, cy]
+    # optional quad-packed latent (pack_quad): one-gather bilinear feature
+    # fetch on the render hot path; None -> 4-corner gathers on `latent`
+    latent_quad: jnp.ndarray = None
     feature_padding: int = struct.field(pytree_node=False, default=0)
 
     @property

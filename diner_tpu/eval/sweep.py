@@ -18,11 +18,28 @@ from diner_tpu.image_ops import colormap
 
 
 def save_video(frames01, outpath, fps: int = 5):
-    """frames01: (N, H, W, 3) floats in [0, 1] -> mp4 (torch_helpers.py:78-96)."""
-    import imageio.v2 as imageio
+    """frames01: (N, H, W, 3) floats in [0, 1] -> mp4 (torch_helpers.py:78-96).
 
+    Uses imageio/ffmpeg when available, else cv2.VideoWriter (this image has
+    cv2 but no ffmpeg plugin)."""
     frames = (np.clip(np.asarray(frames01), 0, 1) * 255).astype(np.uint8)
-    imageio.mimwrite(outpath, list(frames), fps=fps, quality=10)
+    try:
+        import imageio.v2 as imageio
+
+        imageio.mimwrite(outpath, list(frames), fps=fps, quality=10)
+        return
+    except Exception:
+        pass
+    import cv2
+
+    h, w = frames.shape[1:3]
+    vw = cv2.VideoWriter(str(outpath), cv2.VideoWriter_fourcc(*"mp4v"),
+                         fps, (w, h))
+    try:
+        for f in frames:
+            vw.write(f[..., ::-1])  # RGB -> BGR
+    finally:
+        vw.release()
 
 
 def create_cam_sweep(render_fn, dataset, outdir, nframes: int = 30,

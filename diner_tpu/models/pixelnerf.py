@@ -19,6 +19,7 @@ from flax import linen as nn
 from diner_tpu.core.types import SceneEncoding
 from diner_tpu.geometry import depth2normal, transform_points, project_points
 from diner_tpu.image_ops import grid_sample
+from diner_tpu.image_ops.grid_sample import pack_quad, grid_sample_quad
 from diner_tpu.nn import SpatialEncoder, ResnetFC, posenc, posenc_dim
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
@@ -38,8 +39,12 @@ def _scale_uv_for_feature_padding(enc: SceneEncoding, uv):
 
 
 def index_latent(enc: SceneEncoding, uv):
-    """(SB, NV, N, 2) -> (SB, NV, N, C), bilinear/border."""
+    """(SB, NV, N, 2) -> (SB, NV, N, C), bilinear/border.
+
+    Uses the quad-packed latent (one gather) when the encoding carries it."""
     uv = _scale_uv_for_feature_padding(enc, uv)
+    if enc.latent_quad is not None:
+        return grid_sample_quad(enc.latent_quad, uv)
     return grid_sample(enc.latent, uv, mode="bilinear", padding_mode="border")
 
 
@@ -79,6 +84,9 @@ class PixelNeRF(nn.Module):
     # "bfloat16" runs the encoder convs + field MLP in bf16 (params f32);
     # geometry, sampling, and compositing stay f32.
     compute_dtype: str = "float32"
+    # quad-pack the latent at encode time: 4x fewer render-time gathers for
+    # 4x latent memory (enable for eval/serving; off keeps training memory low)
+    quad_latent: bool = False
 
     @property
     def _dtype(self):
@@ -128,6 +136,8 @@ class PixelNeRF(nn.Module):
         return SceneEncoding(latent=latent, depths=depths,
                              depth_stds=depth_stds, normals=normals,
                              poses=extrinsics, focal=focal, c=c,
+                             latent_quad=pack_quad(latent) if self.quad_latent
+                             else None,
                              feature_padding=self.encoder.feature_padding)
 
     def field(self, enc: SceneEncoding, xyz, viewdirs):

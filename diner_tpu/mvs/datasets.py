@@ -148,3 +148,78 @@ class DTUMVSDataset:
             sample["depth"] = depth_ms
             sample["mask"] = mask_ms
         return sample
+
+
+@register("FacescapeMVSDataset")
+class FacescapeMVSDataset:
+    """FaceScape adapter for MVS training/depth-writing.
+
+    Behavioral reference: deps/TransMVSNet/datasets/facescape.py:19-200 in
+    malteprinzler/diner — re-uses the DINER FaceScape metas and converts each
+    to leave-one-out MVS samples (every ref view once as MVS-reference, the
+    others as sources); depth hypotheses = linspace(znear=1, zfar=2.5, D);
+    per-stage proj intrinsics are the full-res K *divided* by stage scale.
+    """
+
+    znear = 1.0
+    zfar = 2.5
+
+    def __init__(self, root, stage: str = "train", ndepths: int = 384,
+                 meta_dir=None, **facescape_kwargs):
+        from diner_tpu.data.facescape import FacescapeDataset
+
+        self.base = FacescapeDataset(root, stage=stage, meta_dir=meta_dir,
+                                     **facescape_kwargs)
+        self.ndepths = ndepths
+        # leave-one-out: each of the 4 ref views becomes the MVS reference
+        self.metas = [(m, r) for m in self.base.metas for r in range(4)]
+
+    def __len__(self):
+        return len(self.metas)
+
+    def __getitem__(self, idx):
+        import json
+
+        meta, ref_slot = self.metas[idx]
+        ref_ids = [s[0] for s in meta["ref_ids"]]
+        view_ids = [ref_ids[ref_slot]] + [r for i, r in enumerate(ref_ids)
+                                          if i != ref_slot]
+        scan_path = self.base.data_dir / meta["scan_path"]
+        cam_dict = json.loads((scan_path / "cameras.json").read_text())
+
+        from diner_tpu.data.facescape import _read_rgba, _read_depth, _to_h
+
+        imgs, projs = [], []
+        dpath = None
+        for i, vid in enumerate(view_ids):
+            vdir = scan_path / self.base.int_to_viewdir(int(vid))
+            rgb, _ = _read_rgba(vdir / self.base.RGBA_FNAME)
+            imgs.append(rgb)
+            ext = _to_h(cam_dict[vid]["extrinsics"])
+            K = np.asarray(cam_dict[vid]["intrinsics"], np.float32)
+            K4 = np.eye(4, dtype=np.float32)
+            K4[:3, :3] = K
+            K4[:2] /= 4.0  # stage1 intrinsics at quarter res
+            projs.append(np.stack([ext, K4]))
+            if i == 0:
+                dpath = str(vdir / "depth.png")  # GT depth path anchor
+
+        projs = np.stack(projs)
+        proj_ms = {"stage1": projs}
+        s2 = projs.copy()
+        s2[:, 1, :2] *= 2
+        proj_ms["stage2"] = s2
+        s3 = projs.copy()
+        s3[:, 1, :2] *= 4
+        proj_ms["stage3"] = s3
+
+        depth_values = np.linspace(self.znear, self.zfar, self.ndepths
+                                   ).astype(np.float32)
+        return {
+            "imgs": np.stack(imgs),
+            "proj_matrices": proj_ms,
+            "depth_values": depth_values,
+            "dpath": dpath,
+            "view_ids": np.asarray([int(v) for v in view_ids]),
+            "scan": meta["scan_path"],
+        }

@@ -67,3 +67,21 @@ def mvs_loss(outputs: Dict, depth_gt_ms: Dict, mask_ms: Dict,
         aux[f"{key}_depth_l1"] = depth_loss
     aux["depth_loss"] = depth_loss
     return total, aux
+
+
+def mvs_loss_focal(outputs: Dict, depth_gt_ms: Dict, mask_ms: Dict,
+                   depth_interval, dlossw: Sequence[float] = (0.5, 1.0, 2.0)):
+    """BlendedMVS variant (module.py:556-587): same cascade entropy loss plus
+    normalized end-point-error metrics (epe, <1px, <3px fractions)."""
+    total, aux = mvs_loss(outputs, depth_gt_ms, mask_ms, dlossw)
+    last = f"stage{sum(1 for k in outputs if k.startswith('stage'))}"
+    mask = mask_ms[last] > 0.5
+    err = jnp.abs(depth_gt_ms[last] - outputs[last]["depth"])
+    scaled = err / (depth_interval * 192.0 / 128.0)
+    denom = jnp.sum(mask) + 1e-6
+    aux["epe"] = jnp.sum(jnp.where(mask, scaled, 0.0)) / denom
+    aux["less1"] = jnp.sum(jnp.where(mask, (scaled < 1.0).astype(jnp.float32),
+                                     0.0)) / denom
+    aux["less3"] = jnp.sum(jnp.where(mask, (scaled < 3.0).astype(jnp.float32),
+                                     0.0)) / denom
+    return total, aux

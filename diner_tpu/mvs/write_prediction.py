@@ -63,3 +63,33 @@ def make_proj_matrices(extrinsics, intrinsics):
         stack = np.stack([np.asarray(extrinsics, np.float32), K4], axis=2)
         out[stage] = stack  # (B, V, 2, 4, 4)
     return out
+
+
+def save_scene_depth_pfm(depth, stage_confidences, out_dir, view_idx: int):
+    """Eval-time PFM outputs with multi-stage confidence product.
+
+    Behavioral reference: deps/TransMVSNet/test.py:136-218 (save_scene_depth):
+    writes depth_est/<view>.pfm and confidence/<view>.pfm where the confidence
+    is the product of the per-stage photometric confidences upsampled to full
+    resolution (test.py:176-179).
+    """
+    from diner_tpu.data.codecs import write_pfm
+
+    out_dir = Path(out_dir)
+    (out_dir / "depth_est").mkdir(parents=True, exist_ok=True)
+    (out_dir / "confidence").mkdir(parents=True, exist_ok=True)
+
+    H, W = np.asarray(depth).shape
+    conf = np.ones((H, W), np.float64)
+    for c in stage_confidences:
+        c = np.asarray(c, np.float64)
+        if c.shape != (H, W):
+            ys = (np.arange(H) * (c.shape[0] / H)).astype(np.int64)
+            xs = (np.arange(W) * (c.shape[1] / W)).astype(np.int64)
+            c = c[ys][:, xs]
+        conf = conf * c
+    write_pfm(out_dir / "depth_est" / f"{view_idx:08d}.pfm",
+              np.asarray(depth, np.float32))
+    write_pfm(out_dir / "confidence" / f"{view_idx:08d}.pfm",
+              conf.astype(np.float32))
+    return out_dir

@@ -1,5 +1,6 @@
 from diner_tpu.parallel.mesh import (
     make_mesh,
+    make_data_mesh_for_batch,
     shard_batch,
     replicate,
     batch_sharding,
@@ -8,6 +9,7 @@ from diner_tpu.parallel.mesh import (
 
 __all__ = [
     "make_mesh",
+    "make_data_mesh_for_batch",
     "shard_batch",
     "replicate",
     "batch_sharding",

@@ -32,6 +32,18 @@ def make_mesh(shape: Optional[Tuple[int, ...]] = None,
     return Mesh(np.asarray(devices).reshape(shape), axis_names)
 
 
+def make_data_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
+    """Data mesh using the largest device count that divides `batch_size`
+    (a global batch smaller than the device count can't shard further)."""
+    import math
+
+    devices = jax.devices() if devices is None else devices
+    n = math.gcd(batch_size, len(devices))
+    while len(devices) % n or batch_size % n:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]), ("data",))
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Sharding that splits the leading (batch) dim over `axis`."""
     return NamedSharding(mesh, P(axis))

@@ -20,7 +20,7 @@ from typing import Callable, Iterable, Optional
 import jax
 import numpy as np
 
-from diner_tpu.parallel import make_mesh, shard_batch, replicate
+from diner_tpu.parallel import make_data_mesh_for_batch, shard_batch, replicate
 from diner_tpu.train.state import create_train_state
 from diner_tpu.train.step import make_train_step, make_eval_step
 
@@ -84,11 +84,14 @@ def train(model, train_batches: Iterable, logdir, *,
     logdir = Path(logdir)
     logdir.mkdir(parents=True, exist_ok=True)
     logger = MetricLogger(logdir)
-    mesh = mesh or make_mesh(axis_names=("data",))
 
     it = iter(train_batches)
     if example_batch is None:
         example_batch = next(it)
+    if mesh is None:
+        bs = next(v.shape[0] for v in example_batch.values()
+                  if hasattr(v, "shape"))
+        mesh = make_data_mesh_for_batch(bs)
 
     rng = jax.random.PRNGKey(seed)
     state = create_train_state(model, rng, example_batch, lr=lr)

@@ -1,0 +1,87 @@
+"""End-to-end CLI tests: train -> checkpoint -> render_eval restore -> scores."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def synth_run(tmp_path_factory):
+    """Train the tiny synthetic config for a few steps; returns the run dir."""
+    logdir = tmp_path_factory.mktemp("run")
+    from diner_tpu.cli.train import main
+
+    main(["configs/train_synthetic.yaml", "--logdir", str(logdir),
+          "--max-steps", "6"])
+    runs = sorted(logdir.iterdir())
+    assert runs, "no run dir created"
+    return runs[-1]
+
+
+def test_train_cli_artifacts(synth_run):
+    assert (synth_run / "config.yaml").exists()
+    metrics = [json.loads(ln) for ln in
+               (synth_run / "metrics.jsonl").read_text().splitlines()]
+    assert any("total" in m for m in metrics)
+    assert np.isfinite([m["total"] for m in metrics if "total" in m]).all()
+    ckpts = synth_run / "ckpts"
+    assert any(ckpts.iterdir())
+
+
+def test_render_eval_cli_restores_and_scores(synth_run, tmp_path, capsys):
+    from diner_tpu.cli.render_eval import main
+
+    out = tmp_path / "eval"
+    main(["--config", "configs/train_synthetic.yaml",
+          "--ckpt", str(synth_run / "ckpts"),
+          "--out", str(out), "--n", "1"])
+    assert (out / "average_scores.json").exists()
+    scores = json.loads((out / "average_scores.json").read_text())
+    assert {"psnr", "ssim", "l1", "l2"} <= set(scores)
+    assert np.isfinite(list(scores.values())).all()
+    vis = list((out / "visualizations").iterdir())
+    assert len(vis) == 4  # 1 sample x 4 files
+
+
+def test_cam_sweep_on_synthetic(tmp_path):
+    """Sweep rendering through the synthetic dataset's sweep extrinsics."""
+    from diner_tpu.data import SyntheticSphereDataset
+    from diner_tpu.eval.sweep import create_cam_sweep
+
+    class SweepDS(SyntheticSphereDataset):
+        def get_cam_sweep_extrinsics(self, nframes, scan_idx):
+            K, exts = self._cameras(scan_idx)
+            return np.stack([exts[0]] * nframes)
+
+    ds = SweepDS(n_scenes=1, n_views=2, H=16, W=16)
+
+    def render_fn(batch, target_ext, seed):
+        H, W = batch["target_rgb"].shape[1:3]
+        rng = np.random.RandomState(seed)
+        return (rng.rand(1, H, W, 3).astype(np.float32),
+                np.full((1, H, W), 2.0, np.float32))
+
+    out = create_cam_sweep(render_fn, ds, tmp_path, nframes=3, n_cam_sweeps=1)
+    files = sorted(p.name for p in out.iterdir())
+    assert any(f.endswith(".mp4") for f in files)
+    assert any(f.endswith("-ref_imgs.jpg") for f in files)
+
+
+def test_compare_evaluations(tmp_path):
+    from diner_tpu.eval.compare import compare_evaluations
+    from diner_tpu.eval.suite import REPORT_DETAIL_FILENAME
+
+    rng = np.random.RandomState(0)
+    dirs = []
+    for m in range(2):
+        d = tmp_path / f"model{m}"
+        d.mkdir()
+        rows = [{"path": str(d / f"s{i}-pred.png"),
+                 "psnr": 20 + m + rng.rand(), "ssim": 0.8, "l1": 0.05 - 0.01 * m,
+                 "l2": 0.01} for i in range(6)]
+        (d / REPORT_DETAIL_FILENAME).write_text(json.dumps(rows))
+        dirs.append(d)
+    out = compare_evaluations(dirs, ["a", "b"], tmp_path / "cmp")
+    assert (out / "metric_violins.png").exists()

@@ -93,3 +93,15 @@ def test_matches_torch_align_corners_true(mode, padding):
                         align_corners=True)
     ref = np.moveaxis(ref.numpy()[:, :, :, 0], 1, -1)
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_quad_pack_matches_bilinear_border():
+    """grid_sample_quad(pack_quad(img)) == grid_sample(img, bilinear/border)."""
+    from diner_tpu.image_ops.grid_sample import pack_quad, grid_sample_quad
+
+    img = jnp.asarray(_rand((2, 9, 12, 6), 10))
+    uv = jnp.asarray((_rand((2, 300, 2), 11) * 1.4).astype(np.float32))
+    ref = grid_sample(img, uv, mode="bilinear", padding_mode="border")
+    got = grid_sample_quad(pack_quad(img), uv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)

@@ -125,3 +125,58 @@ def test_render_rays_and_image():
     assert rgb.shape == (1, 4, 6, 3)
     assert depth.shape == (1, 4, 6)
     assert not np.isnan(np.asarray(rgb)).any()
+
+
+def test_render_image_sharded_matches_unsharded_shapes():
+    """8-device ray sharding: runs, no NaNs, matches unsharded output stats."""
+    import jax
+    from diner_tpu.parallel import make_mesh, replicate
+    from diner_tpu.renderer.sharded import render_image_sharded
+    from diner_tpu.geometry import gen_rays
+
+    model, images, base = _tiny_model_and_batch()
+    K = np.zeros((1, 2, 3, 3), np.float32)
+    K[..., 0, 0] = K[..., 1, 1] = 20.0
+    K[..., 0, 2], K[..., 1, 2], K[..., 2, 2] = 10.0, 8.0, 1.0
+    xyz = jnp.zeros((1, 1, 3))
+    variables = model.init(jax.random.PRNGKey(0), images, base.depths,
+                           base.depth_stds, base.poses, jnp.asarray(K), xyz, xyz)
+    enc = model.apply(variables, images, base.depths, base.depth_stds,
+                      base.poses, jnp.asarray(K), method="encode")
+
+    mesh = make_mesh(axis_names=("data",))
+    variables = replicate(variables, mesh)
+    enc = replicate(enc, mesh)
+
+    def field_fn(pts, dirs):
+        return model.apply(variables, enc, pts, dirs, method="field")
+
+    cfg = RenderConfig(n_samples=8, n_depth_candidates=32, n_gaussian=3)
+    rays = gen_rays(base.poses[:, 0], jnp.asarray(K[:, 0]), 12, 10, 1.0, 3.0)
+    rgb, depth = render_image_sharded(field_fn, jax.random.PRNGKey(1), rays,
+                                      enc, cfg, mesh, chunk=8)
+    assert rgb.shape == (1, 10, 12, 3)
+    assert depth.shape == (1, 10, 12)
+    assert not np.isnan(np.asarray(rgb)).any()
+    assert float(jnp.abs(rgb).max()) > 0
+
+
+def test_field_quad_latent_equivalence():
+    """field() with quad-packed latent == field() with plain latent."""
+    from diner_tpu.image_ops.grid_sample import pack_quad
+
+    model, images, base = _tiny_model_and_batch()
+    K = np.zeros((1, 2, 3, 3), np.float32)
+    K[..., 0, 0] = K[..., 1, 1] = 20.0
+    K[..., 0, 2], K[..., 1, 2], K[..., 2, 2] = 10.0, 8.0, 1.0
+    xyz = jnp.asarray(np.random.RandomState(5).randn(1, 11, 3).astype(np.float32) * 0.3)
+    dirs = jnp.asarray(np.random.RandomState(6).randn(1, 11, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), images, base.depths,
+                           base.depth_stds, base.poses, jnp.asarray(K), xyz, dirs)
+    enc = model.apply(variables, images, base.depths, base.depth_stds,
+                      base.poses, jnp.asarray(K), method="encode")
+    out_plain = model.apply(variables, enc, xyz, dirs, method="field")
+    enc_quad = enc.replace(latent_quad=pack_quad(enc.latent))
+    out_quad = model.apply(variables, enc_quad, xyz, dirs, method="field")
+    np.testing.assert_allclose(np.asarray(out_quad), np.asarray(out_plain),
+                               rtol=1e-5, atol=1e-6)
