@@ -57,7 +57,8 @@ def test_vgg_frozen_and_patch_losses_run():
     vgg_before = jax.tree.map(np.asarray, state.params["vgg"])
     step = make_train_step(model)
     state, losses = step(state, batch, jax.random.PRNGKey(2))
-    assert set(losses) == {"rgb_fine", "vgg_fine", "antibias", "total"}
+    assert {"rgb_fine", "vgg_fine", "antibias", "total"} <= set(losses)
+    assert float(losses["skipped_nonfinite"]) == 0.0  # NaN guard inactive
     assert np.isfinite(float(losses["total"]))
     vgg_after = state.params["vgg"]
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
