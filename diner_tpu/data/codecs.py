@@ -99,3 +99,41 @@ def write_mvsnet_cam(path, extrinsics, intrinsics, depth_min: float,
         for row in np.asarray(intrinsics, np.float64):
             f.write(" ".join(f"{v:.8f}" for v in row) + "\n")
         f.write(f"\n{depth_min} {depth_interval}\n")
+
+
+def write_dmb(path, image):
+    """Write Gipuma .dmb (fusibile input format): int32 header
+    [type=1, height, width, channels] + float32 data, column-major per channel.
+
+    Behavioral reference: deps/TransMVSNet/gipuma.py:34-55 in
+    malteprinzler/diner.
+    """
+    import struct
+
+    image = np.asarray(image, np.float32)
+    if image.ndim == 2:
+        image = image[..., None]
+    h, w, c = image.shape
+    with open(path, "wb") as f:
+        f.write(struct.pack("<iiii", 1, h, w, c))
+        np.transpose(image, (2, 0, 1)).astype(np.float32).tofile(f)
+
+
+def read_dmb(path):
+    """Read Gipuma .dmb -> (H, W) or (H, W, C) float32
+    (deps/TransMVSNet/gipuma.py:20-31)."""
+    import struct
+
+    with open(path, "rb") as f:
+        _, h, w, c = struct.unpack("<iiii", f.read(16))
+        data = np.fromfile(f, np.float32)
+    arr = data.reshape((w, h, c), order="F")
+    return np.transpose(arr, (1, 0, 2)).squeeze()
+
+
+def fake_gipuma_normals(depth):
+    """Camera-facing unit normals where depth > 0 (gipuma.py:90-108):
+    (1,1,1)/sqrt(3) at valid pixels, zeros elsewhere."""
+    depth = np.asarray(depth)
+    n = np.ones((*depth.shape, 3), np.float32) / 1.732050808
+    return n * (depth > 0)[..., None]

@@ -127,3 +127,39 @@ def depths_to_world_points(depths, intrinsics, extrinsics, colors, mask):
     if not pts_all:
         return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8))
     return np.concatenate(pts_all), np.concatenate(col_all)
+
+
+@jax.jit
+def filter_depths_dynamic(depths, intrinsics, extrinsics, confidences,
+                          conf_thresh: float = 0.5):
+    """Progressive-threshold consistency ("dynamic fusion").
+
+    Behavioral reference: deps/TransMVSNet/dynamic_fusion.py:117-140 in
+    malteprinzler/diner: a pixel is accepted if, for some support level i,
+    at least i source views agree within (i/4 px, i/1300 relative depth) —
+    looser geometric thresholds demand more supporting views.
+    Returns (depth_averaged, final_mask) like filter_depths.
+    """
+    V = depths.shape[0]
+    levels = jnp.arange(1, V)  # support levels 1..V-1
+
+    def per_ref(r):
+        def per_src(s):
+            def per_level(i):
+                mask, dep = check_geometric_consistency(
+                    depths[r], intrinsics[r], extrinsics[r],
+                    depths[s], intrinsics[s], extrinsics[s],
+                    pixel_thresh=i / 4.0, rel_depth_thresh=i / 1300.0)
+                return mask & (s != r), dep * (s != r)
+            return jax.vmap(per_level)(levels.astype(jnp.float32))
+
+        masks, deps = jax.vmap(per_src)(jnp.arange(V))  # (V, L, H, W)
+        geo_per_level = jnp.sum(masks, axis=0)  # (L, H, W)
+        ok_any = jnp.any(geo_per_level >= levels[:, None, None], axis=0)
+        # average reprojected depths under the tightest thresholds (level 1)
+        geo1 = jnp.sum(masks[:, 0], axis=0)
+        avg = (jnp.sum(deps[:, 0], axis=0) + depths[r]) / (geo1 + 1)
+        final = (confidences[r] > conf_thresh) & ok_any & (depths[r] > 0)
+        return avg, final
+
+    return jax.vmap(per_ref)(jnp.arange(V))

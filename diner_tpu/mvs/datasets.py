@@ -223,3 +223,74 @@ class FacescapeMVSDataset:
             "view_ids": np.asarray([int(v) for v in view_ids]),
             "scan": meta["scan_path"],
         }
+
+
+@register("GeneralEvalMVSDataset")
+class GeneralEvalMVSDataset:
+    """Standard MVSNet eval layout: <scan>/{images/XXXXXXXX.jpg,
+    cams/XXXXXXXX_cam.txt, pair.txt}.
+
+    Behavioral reference: deps/TransMVSNet/datasets/general_eval.py in
+    malteprinzler/diner (DTU test split / custom scenes): pair.txt picks the
+    top source views per reference view; depth hypotheses from the cam file's
+    depth_min/interval.
+    """
+
+    def __init__(self, datapath, scans, nviews: int = 5, ndepths: int = 192,
+                 interval_scale: float = 1.06, img_ext: str = ".jpg"):
+        self.datapath = Path(datapath)
+        self.nviews = nviews
+        self.ndepths = ndepths
+        self.interval_scale = interval_scale
+        self.img_ext = img_ext
+        self.metas = []
+        for scan in scans:
+            pair = (self.datapath / scan / "pair.txt").read_text().splitlines()
+            n = int(pair[0])
+            for i in range(n):
+                ref = int(pair[1 + 2 * i])
+                srcs = [int(x) for x in pair[2 + 2 * i].split()[1::2]]
+                if srcs:
+                    self.metas.append((scan, ref, srcs))
+
+    def __len__(self):
+        return len(self.metas)
+
+    def _read_cam(self, path):
+        lines = [ln.rstrip() for ln in Path(path).read_text().splitlines()]
+        ext = np.fromstring(" ".join(lines[1:5]), dtype=np.float32, sep=" ").reshape(4, 4)
+        K = np.fromstring(" ".join(lines[7:10]), dtype=np.float32, sep=" ").reshape(3, 3)
+        vals = lines[11].split()
+        return K, ext, float(vals[0]), float(vals[1]) * self.interval_scale
+
+    def __getitem__(self, idx):
+        from PIL import Image
+
+        scan, ref, srcs = self.metas[idx]
+        view_ids = [ref] + srcs[: self.nviews - 1]
+        imgs, projs = [], []
+        depth_values = None
+        for i, vid in enumerate(view_ids):
+            img = np.asarray(Image.open(
+                self.datapath / scan / "images" / f"{vid:08d}{self.img_ext}"),
+                np.float32) / 255.0
+            imgs.append(img[..., :3])
+            K, ext, dmin, dint = self._read_cam(
+                self.datapath / scan / "cams" / f"{vid:08d}_cam.txt")
+            K4 = np.eye(4, dtype=np.float32)
+            K4[:3, :3] = K
+            projs.append(np.stack([ext, K4]))
+            if i == 0:
+                depth_values = dmin + np.arange(self.ndepths,
+                                                dtype=np.float32) * dint
+        projs = np.stack(projs)
+        proj_ms = {"stage1": projs}
+        s2 = projs.copy()
+        s2[:, 1, :2] *= 2
+        proj_ms["stage2"] = s2
+        s3 = projs.copy()
+        s3[:, 1, :2] *= 4
+        proj_ms["stage3"] = s3
+        return {"imgs": np.stack(imgs), "proj_matrices": proj_ms,
+                "depth_values": depth_values, "view_ids": np.asarray(view_ids),
+                "scan": scan}

@@ -162,3 +162,18 @@ def test_synthetic_dataset_contract():
     s = ds[1]
     validate_sample(s)
     assert s["src_depths"][s["src_depths"] > 0].min() >= ds.znear * 0.5
+
+
+def test_dmb_roundtrip(tmp_path):
+    from diner_tpu.data.codecs import write_dmb, read_dmb, fake_gipuma_normals
+
+    rng = np.random.RandomState(0)
+    d = rng.rand(7, 9).astype(np.float32)
+    write_dmb(tmp_path / "d.dmb", d)
+    np.testing.assert_array_equal(read_dmb(tmp_path / "d.dmb"), d)
+    img3 = rng.rand(5, 6, 3).astype(np.float32)
+    write_dmb(tmp_path / "n.dmb", img3)
+    np.testing.assert_array_equal(read_dmb(tmp_path / "n.dmb"), img3)
+    n = fake_gipuma_normals(np.array([[0.0, 2.0]]))
+    assert n[0, 0].sum() == 0
+    np.testing.assert_allclose(np.linalg.norm(n[0, 1]), 1.0, rtol=1e-6)

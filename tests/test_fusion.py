@@ -107,3 +107,19 @@ def test_depths_to_world_points():
     assert pts.shape == (1, 3)
     np.testing.assert_allclose(pts[0, 2], 2.0)
     assert cols[0, 0] == 255
+
+
+def test_filter_depths_dynamic():
+    from diner_tpu.fusion.consistency import filter_depths_dynamic
+
+    H = W = 16
+    K = np.array([[16.0, 0, 8], [0, 16.0, 8], [0, 0, 1]], np.float32)
+    exts = [np.eye(4, dtype=np.float32) for _ in range(4)]
+    for i, tx in enumerate([0.0, 0.05, -0.05, 0.1]):
+        exts[i][0, 3] = tx
+    depths = jnp.asarray(np.full((4, H, W), 2.0, np.float32))
+    conf = jnp.ones((4, H, W)) * 0.9
+    avg, final = filter_depths_dynamic(depths, jnp.asarray(np.stack([K] * 4)),
+                                       jnp.asarray(np.stack(exts)), conf)
+    assert np.asarray(final)[:, 6:-6, 6:-6].all()
+    np.testing.assert_allclose(np.asarray(avg)[:, 6:-6, 6:-6], 2.0, rtol=1e-3)
