@@ -50,12 +50,17 @@ class Conv3dBnRelu(nn.Module):
 
 
 class Deconv3dBnRelu(nn.Module):
+    """Exactly torch ConvTranspose3d(k=3, stride=2, padding=1,
+    output_padding=1): transpose_kernel=True with (1, 2) padding reproduces it
+    bit-near (validated against torch) — required for checkpoint ports."""
+
     ch: int
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.ConvTranspose(self.ch, (3, 3, 3), strides=(2, 2, 2),
-                             padding="SAME", use_bias=False,
+                             padding=[(1, 2)] * 3, use_bias=False,
+                             transpose_kernel=True,
                              kernel_init=_kaiming)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5)(x)

@@ -13,12 +13,14 @@ Conv3d/Deconv3d wrappers = conv+BN, dcn.py DCN) maps onto our flax modules:
   conv_offset_mask output channels must be permuted:
   ours[k] = theirs[2k] (dy), ours[taps + k] = theirs[2k + 1] (dx),
   mask channels map 1:1.
-- ConvTranspose3d: flax ConvTranspose(transpose_kernel=True) with kernel
-  IODHW->DHWIO flip; 'SAME' padding matches stride-2/k-3/output_padding-1.
+- ConvTranspose3d: flax ConvTranspose(transpose_kernel=True, padding=(1, 2))
+  with kernel IODHW -> DHW,O,I reproduces torch's stride-2/k-3/
+  output_padding-1 semantics bit-near
+  (tests/test_mvs.py::test_deconv3d_matches_torch).
 
 Port completeness is validated structurally (tree shapes == a fresh init);
-numeric validation requires the actual checkpoint file (not shipped in this
-environment) — see tests/test_mvs_port.py for the structural round-trip.
+end-to-end numeric validation requires the actual checkpoint file (not
+shipped in this environment).
 """
 
 from __future__ import annotations
@@ -34,8 +36,10 @@ def _conv3d(w):  # OIDHW -> DHWIO
     return np.transpose(w, (2, 3, 4, 1, 0))
 
 
-def _deconv3d(w):  # torch ConvTranspose3d weight: (I, O, D, H, W) -> DHWIO
-    return np.transpose(w, (2, 3, 4, 0, 1))
+def _deconv3d(w):
+    """torch ConvTranspose3d weight (I, O, D, H, W) -> flax
+    transpose_kernel=True layout (D, H, W, O, I)."""
+    return np.transpose(w, (2, 3, 4, 1, 0))
 
 
 def _bn(sd, p):
@@ -137,12 +141,8 @@ def port_cost_reg(sd, prefix: str):
 
 
 def port_transmvsnet(state_dict):
-    """Best-effort full port. Returns {"params": ..., "batch_stats": ...}
-    shaped like TransMVSNet.init. ConvTranspose3d tap alignment differs from
-    torch's output_padding semantics at odd sizes — numerically validated only
-    on even UNet shapes; treat the port as an initialization, fine-tune to
-    recover exact parity.
-    """
+    """Full checkpoint port. Returns {"params": ..., "batch_stats": ...}
+    shaped like TransMVSNet.init."""
     sd = {k.replace("module.", ""): np.asarray(v)
           for k, v in state_dict.items()}
     params, stats = {}, {}
@@ -191,3 +191,10 @@ def port_fmt(sd, prefix: str = "FMT_with_pathway"):
     for name in ("dim_reduction_1", "dim_reduction_2", "smooth_1", "smooth_2"):
         params[name] = {"kernel": _conv2d(sd[f"{prefix}.{name}.weight"])}
     return params, {}
+
+
+def deconv3d_matches_torch_reference():
+    """Documentation helper: the parity recipe validated in
+    tests/test_mvs.py::test_deconv3d_matches_torch."""
+    return dict(transpose_kernel=True, padding=[(1, 2)] * 3,
+                kernel_layout="DHW,O,I")

@@ -172,3 +172,26 @@ def test_write_prediction_contract(tmp_path):
     np.testing.assert_allclose(back, depth / 2.0, atol=1e-4)
     assert (tmp_path / "depth_map_0030_TransMVSNet_conf.png").exists()
     assert (tmp_path / "depth_map_0030_TransMVSNet_vis.png").exists()
+
+
+def test_deconv3d_matches_torch():
+    """Deconv3dBnRelu's ConvTranspose config == torch ConvTranspose3d(k3, s2,
+    p1, op1) bit-near (checkpoint-port requirement)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from flax import linen as nn
+    from diner_tpu.mvs.torch_port import _deconv3d
+
+    rng = np.random.RandomState(0)
+    Cin, Cout, D = 4, 6, 4
+    x = rng.randn(1, Cin, D, D, D).astype(np.float32)
+    w = rng.randn(Cin, Cout, 3, 3, 3).astype(np.float32) * 0.1
+    ref = F.conv_transpose3d(torch.from_numpy(x), torch.from_numpy(w),
+                             stride=2, padding=1, output_padding=1).numpy()
+    conv = nn.ConvTranspose(Cout, (3, 3, 3), strides=(2, 2, 2),
+                            padding=[(1, 2)] * 3, use_bias=False,
+                            transpose_kernel=True)
+    out = conv.apply({"params": {"kernel": jnp.asarray(_deconv3d(w))}},
+                     jnp.asarray(np.moveaxis(x, 1, -1)))
+    np.testing.assert_allclose(np.moveaxis(np.asarray(out), -1, 1), ref,
+                               rtol=1e-4, atol=1e-5)
