@@ -52,3 +52,8 @@ class RenderConfig:
     n_gaussian: int = 15
     depth_diff_max: float = 0.05
     white_bkgd: bool = False
+    # TPU-native approximate top-k (jax.lax.approx_max_k) for candidate
+    # shortlisting: ~recall 0.95+ of the exact set; near-misses are adjacent
+    # candidates with near-equal erf mass, so metric parity holds while the
+    # selection runs much faster than a full sort. False = exact lax.top_k.
+    approx_topk: bool = True

@@ -162,7 +162,10 @@ def sample_depthguided(rng, rays, enc: SceneEncoding, cfg: RenderConfig):
     z_cand = sample_stratified(k_strat, rays, cfg.n_depth_candidates)
     p, opaque = surface_likelihoods(rays, z_cand, enc, cfg.depth_diff_max)
 
-    top_p, top_idx = jax.lax.top_k(p, cfg.n_samples)  # (SB, NR, K)
+    if cfg.approx_topk:
+        top_p, top_idx = jax.lax.approx_max_k(p, cfg.n_samples)
+    else:
+        top_p, top_idx = jax.lax.top_k(p, cfg.n_samples)  # (SB, NR, K)
     z_sel = jnp.take_along_axis(z_cand, top_idx, axis=-1)
     z_sel = jnp.where(top_p == 0, 0.0, z_sel)  # empty slots -> refill later
 
