@@ -80,3 +80,75 @@ def test_mvs_corner_metas():
     # sources never contain the target
     for t, s in train:
         assert t not in s and len(s) == 3
+
+
+def test_color_calibration_recovers_affine():
+    from diner_tpu.preprocess.color_calib import (
+        fit_affine_color_transform, apply_affine_color_transform)
+
+    rng = np.random.RandomState(0)
+    ref = rng.rand(500, 3).astype(np.float32) * 0.8 + 0.1
+    A_true = np.array([[1.1, 0.02, 0.0, 0.03],
+                       [0.0, 0.9, 0.05, -0.02],
+                       [0.01, 0.0, 1.05, 0.01]], np.float32)
+    # src = inverse-transformed ref: fitting src->ref should recover A_true
+    src = (ref - A_true[:, 3]) @ np.linalg.inv(A_true[:, :3]).T
+    A = fit_affine_color_transform(src, ref, l2=1e-8)
+    np.testing.assert_allclose(A, A_true, atol=5e-3)
+    out = apply_affine_color_transform(src.reshape(20, 25, 3), A)
+    np.testing.assert_allclose(out, ref.reshape(20, 25, 3), atol=5e-3)
+
+
+def test_vertex_visibility_occlusion():
+    from diner_tpu.preprocess.color_calib import vertex_visibility
+
+    # two quads: near plane z=1.5 occludes far plane z=2 over half the image
+    verts = np.array([
+        [-1, -1, 2], [1, -1, 2], [1, 1, 2], [-1, 1, 2],       # far quad
+        [-1, -1, 1.5], [0, -1, 1.5], [0, 1, 1.5], [-1, 1, 1.5]  # near left half
+    ], float)
+    faces = np.array([[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]])
+    K = np.array([[16.0, 0, 16], [0, 16.0, 16], [0, 0, 1]])
+    visible, uv = vertex_visibility(verts, faces, K, np.eye(4), 32, 32)
+    assert visible[4:].all()          # near quad fully visible
+    assert visible[1] and visible[2]  # far right corners visible
+    assert not visible[0] and not visible[3]  # far left corners occluded
+
+
+def test_multiface_frame_render(tmp_path):
+    from diner_tpu.preprocess.multiface import render_frame, write_frame_outputs
+    from diner_tpu.data.codecs import read_depth_png
+
+    verts = np.array([[-500, -500, 1000], [500, -500, 1000],
+                      [500, 500, 1000], [-500, 500, 1000]], float)  # mm
+    faces = np.array([[0, 1, 2], [0, 2, 3]])
+    krt = {"intrin": np.array([[16.0, 0, 16], [0, 16.0, 16], [0, 0, 1]]),
+           "extrin": np.eye(4)[:3]}
+    depth, mask = render_frame(verts, faces, krt, 32, 32)
+    assert mask[16, 16]
+    np.testing.assert_allclose(depth[16, 16], 1.0, rtol=1e-6)  # 1000 mm -> 1 m
+    write_frame_outputs(depth, mask, tmp_path / "d.png", tmp_path / "m.png")
+    np.testing.assert_allclose(read_depth_png(tmp_path / "d.png")[16, 16], 1.0,
+                               atol=1e-4)
+
+
+def test_md5_verify(tmp_path):
+    from diner_tpu.preprocess.multiface import md5sum, verify_or_download
+
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"hello")
+    good = md5sum(p)
+    assert verify_or_download([("x.bin", "http://nope", good)], tmp_path) == []
+    bad = verify_or_download([("x.bin", "http://nope", "0" * 32)], tmp_path)
+    assert len(bad) == 1
+
+
+def test_visualize_helpers(tmp_path):
+    from diner_tpu.data import SyntheticSphereDataset
+    from diner_tpu.utils.visualize import save_sample_grid, save_camera_rig
+
+    ds = SyntheticSphereDataset(n_scenes=1, n_views=2, H=16, W=16)
+    s = ds[0]
+    p1 = save_sample_grid(s, tmp_path / "grid.png")
+    p2 = save_camera_rig(s["src_extrinsics"], tmp_path / "rig.png")
+    assert p1.exists() and p2.exists()
