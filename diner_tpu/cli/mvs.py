@@ -77,6 +77,15 @@ def cmd_train(args):
                                      gamma=gamma))
     opt_state = tx.init(variables["params"])
 
+    # data-parallel mesh: batch sharded, params replicated (XLA all-reduces)
+    from diner_tpu.parallel import make_data_mesh_for_batch, shard_batch, replicate
+
+    mesh = make_data_mesh_for_batch(args.batch_size)
+    variables = dict(variables)
+    variables["params"] = replicate(variables["params"], mesh)
+    variables["batch_stats"] = replicate(variables["batch_stats"], mesh)
+    opt_state = replicate(opt_state, mesh)
+
     @jax.jit
     def step(params, batch_stats, opt_state, batch):
         def loss_fn(p):
@@ -107,7 +116,10 @@ def cmd_train(args):
     for it in range(args.max_steps):
         idcs = order[(it * args.batch_size) % len(ds):][:args.batch_size]
         batch = _collate([ds[int(i)] for i in idcs])
-        params, stats, opt_state, total = step(params, stats, opt_state, batch)
+        arrays = {k: v for k, v in batch.items()
+                  if isinstance(v, (np.ndarray, dict))}
+        arrays = shard_batch(arrays, mesh)
+        params, stats, opt_state, total = step(params, stats, opt_state, arrays)
         if it % args.log_every == 0:
             print(f"step {it}: loss {float(total):.4f}", flush=True)
     _save_ckpt(logdir / "ckpts", params, stats, args.max_steps)
