@@ -87,6 +87,9 @@ class PixelNeRF(nn.Module):
     # quad-pack the latent at encode time: 4x fewer render-time gathers for
     # 4x latent memory (enable for eval/serving; off keeps training memory low)
     quad_latent: bool = False
+    # rematerialize the field MLP on backward: trades FLOPs for activation
+    # memory so large ray batches train on one chip (SURVEY.md HBM note)
+    remat_field: bool = False
 
     @property
     def _dtype(self):
@@ -98,11 +101,12 @@ class PixelNeRF(nn.Module):
             norm=self.encoder_norm, image_padding=self.image_padding,
             padding_pe=self.padding_pe, dtype=self._dtype)
         d_in = (posenc_dim(3, self.num_freqs) + posenc_dim(1, self.num_freqs) + 3)
-        self.mlp = ResnetFC(d_in=d_in, d_out=4, n_blocks=self.n_blocks,
-                            d_latent=self.encoder.latent_size,
-                            d_hidden=self.d_hidden,
-                            combine_layer=self.combine_layer,
-                            dtype=self._dtype)
+        mlp_cls = nn.remat(ResnetFC) if self.remat_field else ResnetFC
+        self.mlp = mlp_cls(d_in=d_in, d_out=4, n_blocks=self.n_blocks,
+                           d_latent=self.encoder.latent_size,
+                           d_hidden=self.d_hidden,
+                           combine_layer=self.combine_layer,
+                           dtype=self._dtype)
 
     def __call__(self, images, depths, depth_stds, extrinsics, intrinsics,
                  xyz, viewdirs, train: bool = False):

@@ -91,3 +91,25 @@ def test_data_parallel_step_on_mesh():
     # grads were all-reduced: params remain fully replicated
     p = jax.tree.leaves(new_state.params)[0]
     assert p.sharding.is_fully_replicated
+
+
+def test_remat_field_trains():
+    """remat on the field MLP: gradients still flow, loss finite."""
+    from diner_tpu.models import PixelNeRF
+    from diner_tpu.models.diner import DINER
+    from diner_tpu.core.types import RenderConfig
+    from diner_tpu.data import SyntheticSphereDataset
+
+    nerf = PixelNeRF(encoder_layers=2, encoder_norm="group", image_padding=4,
+                     padding_pe=2, n_blocks=3, d_hidden=32, combine_layer=2,
+                     remat_field=True)
+    model = DINER(nerf=nerf,
+                  render_cfg=RenderConfig(n_samples=8, n_depth_candidates=32,
+                                          n_gaussian=3),
+                  znear=SyntheticSphereDataset.znear,
+                  zfar=SyntheticSphereDataset.zfar, ray_batch_size=32)
+    batch = _batch(2)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch)
+    step = make_train_step(model)
+    state, losses = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses["total"]))
