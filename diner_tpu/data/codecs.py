@@ -137,3 +137,15 @@ def fake_gipuma_normals(depth):
     depth = np.asarray(depth)
     n = np.ones((*depth.shape, 3), np.float32) / 1.732050808
     return n * (depth > 0)[..., None]
+
+
+def write_gipuma_cam(path, extrinsics, intrinsics):
+    """Write the fusibile camera file: a 3x4 projection matrix P = K @ [R|t]
+    (deps/TransMVSNet/gipuma.py:67-87 mvsnet_to_gipuma_cam)."""
+    K = np.asarray(intrinsics, np.float64)
+    ext = np.asarray(extrinsics, np.float64)
+    P = K @ ext[:3, :4]
+    with open(path, "w") as f:
+        for row in P:
+            f.write(" ".join(f"{v:.8f}" for v in row) + "\n")
+        f.write("\n")

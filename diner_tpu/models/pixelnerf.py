@@ -101,7 +101,10 @@ class PixelNeRF(nn.Module):
             norm=self.encoder_norm, image_padding=self.image_padding,
             padding_pe=self.padding_pe, dtype=self._dtype)
         d_in = (posenc_dim(3, self.num_freqs) + posenc_dim(1, self.num_freqs) + 3)
-        mlp_cls = nn.remat(ResnetFC) if self.remat_field else ResnetFC
+        # static_argnums=(2,): combine_axis must stay a Python int under remat
+        # (flax offsets the index by one for the module itself)
+        mlp_cls = (nn.remat(ResnetFC, static_argnums=(2,))
+                   if self.remat_field else ResnetFC)
         self.mlp = mlp_cls(d_in=d_in, d_out=4, n_blocks=self.n_blocks,
                            d_latent=self.encoder.latent_size,
                            d_hidden=self.d_hidden,
@@ -165,7 +168,7 @@ class PixelNeRF(nn.Module):
 
         mlp_in = jnp.concatenate(
             [latent, z_feature, dirs_cam, depth_feature], axis=-1)
-        out = self.mlp(mlp_in, combine_axis=1)  # (SB, B, 4)
+        out = self.mlp(mlp_in, 1)  # combine over the view axis -> (SB, B, 4)
 
         rgb = nn.sigmoid(out[..., :3])
         sigma = nn.relu(out[..., 3:4])

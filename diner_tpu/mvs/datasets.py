@@ -294,3 +294,57 @@ class GeneralEvalMVSDataset:
         return {"imgs": np.stack(imgs), "proj_matrices": proj_ms,
                 "depth_values": depth_values, "view_ids": np.asarray(view_ids),
                 "scan": scan}
+
+
+@register("MultifaceMVSDataset")
+class MultifaceMVSDataset(FacescapeMVSDataset):
+    """MultiFace adapter for MVS depth-writing.
+
+    Behavioral reference: deps/TransMVSNet/datasets/multiface.py in
+    malteprinzler/diner — leave-one-out over the DINER MultiFace metas,
+    depth hypotheses linspace(0.5, 1.5, D), downsampled frames.
+    """
+
+    znear = 0.5
+    zfar = 1.5
+
+    def __init__(self, root, stage: str = "val", ndepths: int = 384,
+                 downsample: int = 8, **mf_kwargs):
+        from diner_tpu.data.multiface import MultiFaceDataset
+
+        self.base = MultiFaceDataset(root, stage=stage, downsample=downsample,
+                                     **mf_kwargs)
+        self.ndepths = ndepths
+        self.metas = [(m, r) for m in self.base.metas for r in range(4)]
+
+    def __getitem__(self, idx):
+        meta, ref_slot = self.metas[idx]
+        ref_ids = list(meta["ref_ids"])
+        view_ids = [ref_ids[ref_slot]] + [r for i, r in enumerate(ref_ids)
+                                          if i != ref_slot]
+        # reuse the DINER loader for images/cams by borrowing its sample
+        base_idx = self.base.metas.index(meta)
+        s = self.base[base_idx]
+        order = [list(meta["ref_ids"]).index(v) for v in view_ids]
+        imgs = s["src_rgbs"][order]
+        exts = s["src_extrinsics"][order]
+        Ks = s["src_intrinsics"][order]
+        projs = []
+        for e, K in zip(exts, Ks):
+            K4 = np.eye(4, dtype=np.float32)
+            K4[:3, :3] = K
+            K4[:2] /= 4.0
+            projs.append(np.stack([e, K4]))
+        projs = np.stack(projs)
+        proj_ms = {"stage1": projs}
+        s2 = projs.copy()
+        s2[:, 1, :2] *= 2
+        proj_ms["stage2"] = s2
+        s3 = projs.copy()
+        s3[:, 1, :2] *= 4
+        proj_ms["stage3"] = s3
+        return {"imgs": imgs, "proj_matrices": proj_ms,
+                "depth_values": np.linspace(self.znear, self.zfar,
+                                            self.ndepths).astype(np.float32),
+                "dpath": None, "view_ids": np.asarray([int(v) for v in view_ids]),
+                "scan": meta["scan_path"]}

@@ -177,3 +177,14 @@ def test_dmb_roundtrip(tmp_path):
     n = fake_gipuma_normals(np.array([[0.0, 2.0]]))
     assert n[0, 0].sum() == 0
     np.testing.assert_allclose(np.linalg.norm(n[0, 1]), 1.0, rtol=1e-6)
+
+
+def test_gipuma_cam_writer(tmp_path):
+    from diner_tpu.data.codecs import write_gipuma_cam
+
+    K = np.array([[100.0, 0, 50], [0, 110.0, 40], [0, 0, 1]])
+    ext = np.eye(4)
+    ext[:3, 3] = [1, 2, 3]
+    write_gipuma_cam(tmp_path / "cam.txt", ext, K)
+    P = np.loadtxt(tmp_path / "cam.txt")
+    np.testing.assert_allclose(P, K @ ext[:3, :4], rtol=1e-6)

@@ -174,3 +174,13 @@ def test_gather_priors_matches_separate_indexers():
                                rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(n), np.asarray(index_normal(enc, uv)),
                                rtol=1e-6, atol=0)
+
+
+def test_weighted_mean_and_std_util():
+    from diner_tpu.utils import weighted_mean_and_std
+
+    x = jnp.asarray(np.array([1.0, 2.0, 3.0, 4.0]))
+    w = jnp.asarray(np.array([0.0, 1.0, 1.0, 0.0]))
+    m, s = weighted_mean_and_std(x, w, axis=0)
+    np.testing.assert_allclose(float(m), 2.5)
+    np.testing.assert_allclose(float(s), 0.5)
