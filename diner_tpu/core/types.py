@@ -57,3 +57,10 @@ class RenderConfig:
     # candidates with near-equal erf mass, so metric parity holds while the
     # selection runs much faster than a full sort. False = exact lax.top_k.
     approx_topk: bool = True
+    # gather the depth/std/normal priors only every `prior_stride`-th candidate
+    # and share them across the stride group (z stays exact per candidate).
+    # Adjacent candidates project ~0.1-0.3 px apart on DTU geometry, i.e. they
+    # mostly hit the SAME nearest pixel anyway; stride 2-4 cuts the dominant
+    # gather cost proportionally with sub-pixel-level approximation. 1 = exact
+    # reference semantics.
+    prior_stride: int = 1

@@ -89,16 +89,21 @@ def gather_priors(enc: SceneEncoding, uv, pad: int = 100,
     return depth, std, normal
 
 
-def surface_likelihoods(rays, z, enc: SceneEncoding, depth_diff_max: float):
+def surface_likelihoods(rays, z, enc: SceneEncoding, depth_diff_max: float,
+                        prior_stride: int = 1):
     """Per-candidate surface likelihoods from the MVS depth priors.
 
     rays: (SB, NR, 8); z: (SB, NR, NC) distances along the (unit) ray dirs.
+    prior_stride > 1 gathers priors only every stride-th candidate and shares
+    them within the group (RenderConfig.prior_stride rationale).
     Returns (p, opaque_p), each (SB, NR, NC): raw max-over-views likelihood and
     its occlusion-aware (transmittance-weighted) variant.
     """
     SB, NR, NC = z.shape
     NV = enc.poses.shape[1]
     B = NR * NC
+    s = prior_stride
+    assert NC % s == 0
 
     xyz = rays[..., None, :3] + z[..., None] * rays[..., None, 3:6]
     xyz = xyz.reshape(SB, B, 3)
@@ -109,10 +114,20 @@ def surface_likelihoods(rays, z, enc: SceneEncoding, depth_diff_max: float):
     dirs_cam = jnp.einsum("svij,svrj->svri", enc.poses[..., :3, :3], dirs)
 
     uv = project_points(xyz_cam, enc.focal, enc.c, enc.image_shape)
+    if s > 1:
+        uv = uv.reshape(SB, NV, NR, NC, 2)[:, :, :, ::s]
+        uv = uv.reshape(SB, NV, NR * (NC // s), 2)
     ref_depth, ref_std, ref_normal = gather_priors(enc, uv)
-    ref_depth = ref_depth.reshape(SB, NV, NR, NC)
-    ref_std = ref_std.reshape(SB, NV, NR, NC)
-    ref_normal = ref_normal.reshape(SB, NV, NR, NC, 3)
+    if s > 1:
+        rep = lambda a: jnp.repeat(a.reshape(SB, NV, NR, NC // s, *a.shape[3:]),
+                                   s, axis=3)
+        ref_depth = rep(ref_depth[..., None])[..., 0]
+        ref_std = rep(ref_std[..., None])[..., 0]
+        ref_normal = rep(ref_normal)
+    else:
+        ref_depth = ref_depth.reshape(SB, NV, NR, NC)
+        ref_std = ref_std.reshape(SB, NV, NR, NC)
+        ref_normal = ref_normal.reshape(SB, NV, NR, NC, 3)
     z_cam = xyz_cam[..., 2].reshape(SB, NV, NR, NC)
 
     step = ((rays[..., 7] - rays[..., 6]) / NC)[:, None, :, None]  # (SB,1,NR,1)
@@ -164,7 +179,8 @@ def sample_depthguided(rng, rays, enc: SceneEncoding, cfg: RenderConfig):
     k_strat, k_gauss, k_fill = jax.random.split(rng, 3)
 
     z_cand = sample_stratified(k_strat, rays, cfg.n_depth_candidates)
-    p, opaque = surface_likelihoods(rays, z_cand, enc, cfg.depth_diff_max)
+    p, opaque = surface_likelihoods(rays, z_cand, enc, cfg.depth_diff_max,
+                                    prior_stride=cfg.prior_stride)
 
     if cfg.approx_topk:
         top_p, top_idx = jax.lax.approx_max_k(p, cfg.n_samples)

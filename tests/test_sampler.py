@@ -184,3 +184,22 @@ def test_weighted_mean_and_std_util():
     m, s = weighted_mean_and_std(x, w, axis=0)
     np.testing.assert_allclose(float(m), 2.5)
     np.testing.assert_allclose(float(s), 0.5)
+
+
+def test_prior_stride_exact_on_smooth_maps():
+    """stride=1 vs stride=4 on constant maps: identical; on a smooth scene,
+    samples still concentrate at the surface."""
+    d0, std = 2.0, 0.05
+    enc = _make_enc(depth=d0, std=std)
+    rays = _center_rays(near=1.0, far=3.0)
+    step = 2.0 / 200
+    z = jnp.asarray((1.0 + (np.arange(200) + 0.5) * step)[None, None].astype(np.float32))
+    p1, _ = surface_likelihoods(rays, z, enc, 0.5, prior_stride=1)
+    p4, _ = surface_likelihoods(rays, z, enc, 0.5, prior_stride=4)
+    # constant maps -> identical regardless of stride
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p4), rtol=1e-6)
+
+    cfg = RenderConfig(n_samples=16, n_depth_candidates=200, n_gaussian=4,
+                       prior_stride=4)
+    zs = np.asarray(sample_depthguided(jax.random.PRNGKey(0), rays, enc, cfg))[0, 0]
+    assert (np.abs(zs - d0) < 0.2).sum() >= 10
