@@ -18,7 +18,9 @@ import jax
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
-    ap.add_argument("--ckpt", required=True, help="orbax checkpoint dir")
+    ap.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
+    ap.add_argument("--torch-ckpt", default=None,
+                    help="reference Lightning .ckpt to port on the fly")
     ap.add_argument("--out", required=True)
     ap.add_argument("--n", type=int, default=None, help="eval subset size")
     ap.add_argument("--nsamples", type=int, default=None,
@@ -46,8 +48,23 @@ def main(argv=None):
 
     example = to_device_batch(collate([val_set[0]]))
     state = create_train_state(model, jax.random.PRNGKey(0), example)
-    state, step = restore_checkpoint(args.ckpt, state)
-    print(f"restored step {step} from {args.ckpt}")
+    if args.torch_ckpt:
+        # minimum-slice path (SURVEY.md §7.4): eval a ported reference ckpt
+        from diner_tpu.models.torch_port import port_diner_checkpoint
+        from diner_tpu.nn.torch_port import load_torch_state_dict
+
+        ported, extras = port_diner_checkpoint(load_torch_state_dict(args.torch_ckpt))
+        params = dict(state.params)
+        params["nerf"] = ported["params"]
+        bs = {"nerf": ported["batch_stats"]}
+        state = state.replace(params=params, batch_stats=bs)
+        print(f"ported torch checkpoint {args.torch_ckpt} "
+              f"(znear={extras['znear']}, zfar={extras['zfar']})")
+    elif args.ckpt:
+        state, step = restore_checkpoint(args.ckpt, state)
+        print(f"restored step {step} from {args.ckpt}")
+    else:
+        raise SystemExit("need --ckpt or --torch-ckpt")
 
     variables = {"params": state.params}
     if state.batch_stats is not None:

@@ -26,18 +26,39 @@ from diner_tpu.train.step import make_train_step, make_eval_step
 
 
 class MetricLogger:
-    """JSONL metrics file, one object per step (host 0 only)."""
+    """JSONL metrics file + optional TensorBoard events (host 0 only).
 
-    def __init__(self, logdir):
+    The reference logs through TensorBoardLogger (SURVEY.md §5.5); JSONL is
+    the always-on machine-readable log, TB events are written when
+    tensorflow is importable."""
+
+    def __init__(self, logdir, tensorboard: bool = True):
         self.path = Path(logdir) / "metrics.jsonl"
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._f = open(self.path, "a")
+        self._tb = None
+        if tensorboard:
+            try:
+                import tensorflow as tf
+
+                self._tb = tf.summary.create_file_writer(
+                    str(Path(logdir) / "tb"))
+            except Exception:
+                self._tb = None
 
     def log(self, step: int, scalars: dict):
         rec = {"step": int(step)}
         rec.update({k: float(v) for k, v in scalars.items()})
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, v in rec.items():
+                    if k != "step":
+                        tf.summary.scalar(k, v, step=int(step))
+                self._tb.flush()
 
 
 def save_checkpoint(ckpt_dir, state, step: int):
