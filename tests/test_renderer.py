@@ -180,3 +180,34 @@ def test_field_quad_latent_equivalence():
     out_quad = model.apply(variables, enc_quad, xyz, dirs, method="field")
     np.testing.assert_allclose(np.asarray(out_quad), np.asarray(out_plain),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_composite_matches_xla():
+    """Fused Pallas compositing == the XLA composite (interpret mode on CPU)."""
+    from diner_tpu.renderer.pallas_composite import composite_pallas
+
+    rng = np.random.RandomState(0)
+    SB, B, K = 2, 37, 16  # non-multiple of block to exercise padding
+    z = np.sort(rng.rand(SB, B, K).astype(np.float32) * 2 + 1, axis=-1)
+    rays = np.zeros((SB, B, 8), np.float32)
+    rays[..., 7] = 3.5
+    field_out = rng.rand(SB, B, K, 4).astype(np.float32)
+    field_out[..., 3] *= 5
+
+    def field(pts, dirs):  # replay the same outputs through composite()
+        return jnp.asarray(field_out.reshape(SB, B * K, 4))
+
+    for wb in (False, True):
+        w_ref, rgb_ref, depth_ref = composite(field, jnp.asarray(rays),
+                                              jnp.asarray(z), white_bkgd=wb)
+        rgb, depth, acc = composite_pallas(jnp.asarray(rays), jnp.asarray(z),
+                                           jnp.asarray(field_out),
+                                           white_bkgd=wb, block=16,
+                                           interpret=True)
+        np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(depth), np.asarray(depth_ref),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(acc),
+                                   np.asarray(w_ref.sum(-1)),
+                                   rtol=1e-5, atol=1e-6)
