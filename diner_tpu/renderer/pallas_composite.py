@@ -15,6 +15,12 @@ The per-element gather-heavy stages (sampler, feature fetch) cannot be Pallas
 on TPU (no per-lane int indexing); compositing is the piece of the ray
 pipeline that fuses cleanly. Numerical semantics match `composite` exactly
 (same 1e-10 stabilizer, last delta = far - z_K, optional white background).
+
+Status: compiled + validated bit-near on v5e. Standalone micro-timing is
+dominated by the sandbox tunnel's per-call overhead, so it is not wired in as
+the default composite yet — compositing is <5% of frame time (PERFORMANCE.md);
+this kernel is the fusion groundwork for folding the field MLP epilogue into
+the same VMEM pass in a later round.
 """
 
 from __future__ import annotations
@@ -29,33 +35,36 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK = 512  # rays per kernel invocation
 
 
-def _composite_kernel(z_ref, sigma_ref, rgb_ref, far_ref, out_ref, *, K: int,
-                      white_bkgd: bool):
-    """Blocks: z/sigma (B, K); rgb (B, K, 3); far (B, 1); out (B, 8)
-    [rgb 3 | depth 1 | acc 1 | pad 3]."""
+def _composite_kernel(z_ref, sigma_ref, r_ref, g_ref, b_ref, far_ref, out_ref,
+                      *, K: int, white_bkgd: bool):
+    """Blocks: z/sigma/r/g/b (B, K); far (B, 1); out (B, 8)
+    [rgb 3 | depth 1 | acc 1 | pad 3]. RGB is channel-split into (B, K)
+    planes: a (B, K, 3) block would lane-pad 3 -> 128 in VMEM (42x waste)."""
     z = z_ref[:]                 # (B, K)
     sigma = jnp.maximum(sigma_ref[:], 0.0)
-    rgb = rgb_ref[:]             # (B, K, 3)
 
     deltas = jnp.concatenate([z[:, 1:] - z[:, :-1],
                               far_ref[:] - z[:, -1:]], axis=1)  # (B, K)
     alphas = 1.0 - jnp.exp(-deltas * sigma)
 
-    def body(k, carry):
-        trans, rgb_acc, depth_acc, w_acc = carry
-        a_k = jax.lax.dynamic_slice_in_dim(alphas, k, 1, axis=1)  # (B, 1)
-        w_k = a_k * trans                                          # (B, 1)
-        rgb_k = jax.lax.dynamic_slice_in_dim(rgb, k, 1, axis=1)[:, 0]  # (B, 3)
-        z_k = jax.lax.dynamic_slice_in_dim(z, k, 1, axis=1)       # (B, 1)
-        return (trans * (1.0 - a_k + 1e-10),
-                rgb_acc + w_k * rgb_k,
-                depth_acc + w_k * z_k,
-                w_acc + w_k)
-
+    # exclusive transmittance cumprod + weighted reductions, all in VMEM.
+    # Mosaic lowers neither cumprod nor dynamic_slice: use a Hillis-Steele
+    # prefix product with static shifts (log2(K) vectorized steps).
     B = z.shape[0]
-    init = (jnp.ones((B, 1), z.dtype), jnp.zeros((B, 3), z.dtype),
-            jnp.zeros((B, 1), z.dtype), jnp.zeros((B, 1), z.dtype))
-    _, rgb_out, depth_out, w_out = jax.lax.fori_loop(0, K, body, init)
+    trans = jnp.concatenate(
+        [jnp.ones((B, 1), z.dtype), (1.0 - alphas + 1e-10)[:, :-1]], axis=1)
+    offset = 1
+    while offset < K:
+        shifted_in = jnp.concatenate(
+            [jnp.ones((B, offset), z.dtype), trans[:, :K - offset]], axis=1)
+        trans = trans * shifted_in
+        offset *= 2
+    weights = alphas * trans               # (B, K)
+    rgb_out = jnp.concatenate(
+        [jnp.sum(weights * c_ref[:], axis=1, keepdims=True)
+         for c_ref in (r_ref, g_ref, b_ref)], axis=1)  # (B, 3)
+    depth_out = jnp.sum(weights * z, axis=1, keepdims=True)
+    w_out = jnp.sum(weights, axis=1, keepdims=True)
     if white_bkgd:
         rgb_out = rgb_out + (1.0 - w_out)
     out_ref[:] = jnp.concatenate(
@@ -79,26 +88,26 @@ def composite_pallas(rays, z_samp, field_out, white_bkgd: bool = False,
 
     z2 = z_samp.reshape(SB * Bp, K)
     sigma2 = field_out[..., 3].reshape(SB * Bp, K)
-    rgb2 = field_out[..., :3].reshape(SB * Bp, K, 3)
+    r2 = field_out[..., 0].reshape(SB * Bp, K)
+    g2 = field_out[..., 1].reshape(SB * Bp, K)
+    b2 = field_out[..., 2].reshape(SB * Bp, K)
     far2 = rays[..., 7:8].reshape(SB * Bp, 1)
 
     grid = (SB * Bp) // block
     kernel = functools.partial(_composite_kernel, K=K, white_bkgd=white_bkgd)
+    bk_spec = pl.BlockSpec((block, K), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((block, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, K, 3), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=[bk_spec, bk_spec, bk_spec, bk_spec, bk_spec,
+                  pl.BlockSpec((block, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((block, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((SB * Bp, 8), z2.dtype),
         interpret=interpret,
-    )(z2, sigma2, rgb2, far2)
+    )(z2, sigma2, r2, g2, b2, far2)
 
     out = out.reshape(SB, Bp, 8)[:, :B]
     return out[..., :3], out[..., 3], out[..., 4]

@@ -1,0 +1,124 @@
+"""FaceScape dataset against a synthetic on-disk tree: meta generation,
+frustum filtering, sample contract, MVS adapter."""
+
+import json
+
+import numpy as np
+import pytest
+
+from diner_tpu.data.contract import validate_sample
+from diner_tpu.data.facescape import FacescapeDataset
+
+
+def _lookat_ext(eye):
+    eye = np.asarray(eye, np.float64)
+    z = -eye / np.linalg.norm(eye)  # look at origin
+    up = np.array([0.0, 0.0, -1.0])
+    x = np.cross(up, z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    ext = np.eye(4)
+    ext[:3, :3] = np.stack([x, y, z])
+    ext[:3, 3] = -ext[:3, :3] @ eye
+    return ext
+
+
+def _make_fake_facescape(root, n_views=12):
+    """One subject, one expression, cameras on a sphere around the origin.
+
+    FaceScape convention: camera directions from centers toward origin;
+    'frontal' is -y (facescape.py:123)."""
+    import imageio.v2 as imageio
+
+    rng = np.random.RandomState(0)
+    scan = root / "001" / "01"
+    scan.mkdir(parents=True)
+    cam_dict = {}
+    az = np.linspace(-np.pi / 3, np.pi / 3, n_views)
+    for i, a in enumerate(az):
+        el = 0.2 * np.sin(3 * a)
+        eye = 1.6 * np.array([np.sin(a) * np.cos(el), -np.cos(a) * np.cos(el),
+                              np.sin(el)])
+        ext = _lookat_ext(eye)
+        K = [[40.0, 0, 16.0], [0, 40.0, 16.0], [0, 0, 1.0]]
+        cam_dict[str(i)] = {"extrinsics": ext[:3].tolist(), "intrinsics": K}
+        vdir = scan / f"view_{i:05d}"
+        vdir.mkdir()
+        rgba = rng.randint(0, 255, (32, 32, 4), dtype=np.uint8)
+        rgba[..., 3] = 255
+        imageio.imwrite(vdir / "rgba_colorcalib.png", rgba)
+        depth_m = rng.rand(32, 32) * 0.4 + 1.4  # ~head distance
+        imageio.imwrite(vdir / "depth_TransMVSNet.png",
+                        (depth_m / 1e-4).astype(np.uint16))
+        imageio.imwrite(vdir / "depth_TransMVSNet_conf.png",
+                        (0.9 / 1e-4 * np.ones((32, 32))).astype(np.uint16))
+        (scan / "3dlmks.npy").write_bytes(b"")
+    (scan / "cameras.json").write_text(json.dumps(cam_dict))
+    return root
+
+
+@pytest.fixture(scope="module")
+def fake_facescape(tmp_path_factory):
+    root = tmp_path_factory.mktemp("facescape")
+    meta_dir = tmp_path_factory.mktemp("fs_meta")
+    _make_fake_facescape(root)
+    return root, meta_dir
+
+
+def test_meta_generation_and_sample(fake_facescape):
+    root, meta_dir = fake_facescape
+    ds = FacescapeDataset(root, stage="val", meta_dir=meta_dir,
+                          val_subjects=["001"], range_hor=45, range_vert=30,
+                          slide_range=0)
+    assert len(ds) > 0
+    meta = ds.metas[0]
+    assert len(meta["ref_ids"]) == 4
+    # targets are never the primary reference views
+    prim = {r[0] for r in meta["ref_ids"]}
+    for m in ds.metas:
+        assert m["target_id"] not in {r[0] for r in m["ref_ids"]}
+
+    s = ds[0]
+    validate_sample(s)
+    assert s["target_rgb"].shape == (32, 32, 3)
+    assert s["src_depths"].max() <= ds.zfar
+    # conf2std applied: sigma = -1.582e-2*0.9 + 1.649e-2
+    expect_std = -1.582e-2 * 0.9 + 1.649e-2
+    np.testing.assert_allclose(s["src_depth_stds"][0, 0, 0, 0], expect_std,
+                               rtol=1e-3)
+    # metas are cached to disk and reload identically
+    ds2 = FacescapeDataset(root, stage="val", meta_dir=meta_dir,
+                           val_subjects=["001"], range_hor=45, range_vert=30,
+                           slide_range=0)
+    assert ds2.metas == ds.metas
+
+
+def test_facescape_cam_sweep(fake_facescape):
+    root, meta_dir = fake_facescape
+    ds = FacescapeDataset(root, stage="val", meta_dir=meta_dir,
+                          val_subjects=["001"], slide_range=0)
+    exts = ds.get_cam_sweep_extrinsics(4, scan_idx=0)
+    assert exts.shape == (4, 4, 4)
+    for e in exts:
+        np.testing.assert_allclose(e[:3, :3] @ e[:3, :3].T, np.eye(3),
+                                   atol=1e-5)
+        # camera at radius 1.8 from origin
+        c = -e[:3, :3].T @ e[:3, 3]
+        np.testing.assert_allclose(np.linalg.norm(c), 1.8, rtol=1e-5)
+
+
+def test_facescape_mvs_adapter(fake_facescape):
+    root, meta_dir = fake_facescape
+    from diner_tpu.mvs.datasets import FacescapeMVSDataset
+
+    ds = FacescapeMVSDataset(root, stage="val", ndepths=16, meta_dir=meta_dir,
+                             val_subjects=["001"], slide_range=0)
+    assert len(ds) == 4 * len(ds.base.metas)
+    s = ds[0]
+    assert s["imgs"].shape[0] == 4
+    assert s["proj_matrices"]["stage1"].shape == (4, 2, 4, 4)
+    dv = s["depth_values"]
+    np.testing.assert_allclose([dv[0], dv[-1]], [1.0, 2.5])
+    # stage scaling: stage3 intrinsics = 4x stage1
+    np.testing.assert_allclose(s["proj_matrices"]["stage3"][:, 1, 0, 0],
+                               4 * s["proj_matrices"]["stage1"][:, 1, 0, 0])
