@@ -1,6 +1,7 @@
 """DINER checkpoint port: structural round-trip against a fake Lightning sd."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -69,3 +70,21 @@ def test_port_diner_checkpoint_structural():
                       xyz, xyz)
     assert out.shape == (SB, 3, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_torch_ckpt_file_roundtrip(tmp_path):
+    """Save a fake Lightning .ckpt with torch; load + port via the CLI path."""
+    torch = pytest.importorskip("torch")
+    from diner_tpu.nn.torch_port import load_torch_state_dict
+
+    sd = _fake_lightning_sd()
+    ckpt = {"state_dict": {k: torch.from_numpy(np.asarray(v))
+                           for k, v in sd.items()},
+            "epoch": 3}
+    p = tmp_path / "diner.ckpt"
+    torch.save(ckpt, p)
+
+    loaded = load_torch_state_dict(p)
+    variables, extras = port_diner_checkpoint(loaded)
+    assert extras["znear"] == np.float32(0.32)
+    assert "encoder" in variables["params"] and "mlp" in variables["params"]
