@@ -17,9 +17,19 @@ vs_baseline = rays_per_sec / 5.0e4 — i.e. the >=10x target reads as >=10.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compilation cache: the full render program takes minutes to
+# compile through this sandbox's remote-compile tunnel; cache artifacts under
+# the repo so repeat runs (e.g. the driver's) start in seconds
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 BASELINE_RAYS_PER_SEC = 5.0e4
