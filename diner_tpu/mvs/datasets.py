@@ -187,7 +187,7 @@ class FacescapeMVSDataset:
         scan_path = self.base.data_dir / meta["scan_path"]
         cam_dict = json.loads((scan_path / "cameras.json").read_text())
 
-        from diner_tpu.data.facescape import _read_rgba, _read_depth, _to_h
+        from diner_tpu.data.facescape import _read_rgba, _to_h
 
         imgs, projs = [], []
         dpath = None

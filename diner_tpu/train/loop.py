@@ -22,7 +22,7 @@ import numpy as np
 
 from diner_tpu.parallel import make_data_mesh_for_batch, shard_batch, replicate
 from diner_tpu.train.state import create_train_state
-from diner_tpu.train.step import make_train_step, make_eval_step
+from diner_tpu.train.step import make_train_step
 
 
 class MetricLogger:
