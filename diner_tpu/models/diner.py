@@ -41,9 +41,15 @@ class DINER(nn.Module):
     antibias_downsampling: int = 3
 
     @property
+    def _patch_losses(self) -> bool:
+        # patch-shaped rays needed by VGG and antibias losses (diner.py:57;
+        # the reference keys this on w_vgg only and would crash for
+        # antibias-without-vgg — covering both is a strict fix)
+        return self.w_vgg != 0 or self.w_antibias != 0
+
+    @property
     def n_rays(self) -> int:
-        # diner.py:57 — patch losses force ray count to vgg_spatch^2
-        return self.vgg_spatch ** 2 if self.w_vgg != 0 else self.ray_batch_size
+        return self.vgg_spatch ** 2 if self._patch_losses else self.ray_batch_size
 
     def setup(self):
         self.vgg = Vgg19Features() if self.w_vgg != 0 else None
@@ -62,7 +68,7 @@ class DINER(nn.Module):
 
     def _select_pixels(self, rng, batch, SB: int, H: int, W: int):
         """(SB, n_rays) flat pixel indices into the target image."""
-        if self.w_vgg == 0.0:
+        if not self._patch_losses:
             return jax.random.randint(rng, (SB, self.n_rays), 0, H * W)
         s = self.vgg_spatch
         pad = (s + 1) // 2
