@@ -195,3 +195,41 @@ def test_deconv3d_matches_torch():
                      jnp.asarray(np.moveaxis(x, 1, -1)))
     np.testing.assert_allclose(np.moveaxis(np.asarray(out), -1, 1), ref,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_linear_attention_matches_naive():
+    """The O(N) einsum formulation == naive kernel attention with elu+1."""
+    from diner_tpu.mvs.fmt import linear_attention
+    from flax import linen as nn
+
+    rng = np.random.RandomState(0)
+    N, L, S, H, D, M = 2, 7, 9, 2, 4, 5
+    q = jnp.asarray(rng.randn(N, L, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(N, S, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(N, S, H, M).astype(np.float32))
+
+    out = np.asarray(linear_attention(q, k, v))
+
+    fq = np.asarray(nn.elu(q)) + 1
+    fk = np.asarray(nn.elu(k)) + 1
+    vn = np.asarray(v)
+    naive = np.zeros((N, L, H, M))
+    for n in range(N):
+        for h in range(H):
+            scores = fq[n, :, h] @ fk[n, :, h].T  # (L, S)
+            naive[n, :, h] = (scores @ vn[n, :, h]) / (
+                scores.sum(axis=1, keepdims=True) + 1e-6)
+    np.testing.assert_allclose(out, naive, rtol=1e-4, atol=1e-5)
+
+
+def test_sine_position_encoding_properties():
+    from diner_tpu.mvs.fmt import sine_position_encoding_2d
+
+    pe = sine_position_encoding_2d(32, 10, 12)
+    assert pe.shape == (10, 12, 32)
+    # channels 0::4 vary along x only; 2::4 along y only
+    np.testing.assert_allclose(np.asarray(pe[:, 0, 0]),
+                               np.asarray(pe[0, 0, 0]) * np.ones(10), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pe[0, :, 2]),
+                               np.asarray(pe[0, 0, 2]) * np.ones(12), atol=1e-6)
+    assert float(jnp.abs(pe).max()) <= 1.0
