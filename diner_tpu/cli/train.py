@@ -15,9 +15,12 @@ from pathlib import Path
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  str(Path(__file__).resolve().parents[2] / ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+    # persistent cache for TPU programs only: CPU AOT artifacts are
+    # machine-feature sensitive (SIGILL risk across toolchain flags)
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).resolve().parents[2] / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main(argv=None):
@@ -81,6 +84,26 @@ def main(argv=None):
         scores = evaluate_folder(visdir, eval_dir)
         MetricLogger(logdir).log(step, {f"valscores_{k}": v
                                         for k, v in scores.items()})
+
+        # cam-sweep videos (diner.py:328-330), when configured and supported
+        sweep_kw = dict(conf.get("optimizer", {}).get("kwargs", {})
+                        .get("cam_sweep_settings", {}))
+        if sweep_kw and hasattr(val_set, "get_cam_sweep_extrinsics"):
+            from diner_tpu.eval.sweep import create_cam_sweep
+            import jax.numpy as jnp
+
+            def sweep_render(batch, target_ext, seed):
+                arrays = {k: jnp.asarray(v) for k, v in batch.items()
+                          if not isinstance(v, list)}
+                variables = {"params": state.params}
+                if state.batch_stats is not None:
+                    variables["batch_stats"] = state.batch_stats
+                return model.apply(variables, arrays, jax.random.PRNGKey(seed),
+                                   method="render_batch",
+                                   target_extrinsics=jnp.asarray(target_ext))
+
+            create_cam_sweep(sweep_render, val_set, eval_dir / "cam_sweeps",
+                             **sweep_kw)
 
     train(model, train_loader, logdir,
           lr=float(conf.get("optimizer", {}).get("kwargs", {}).get("lr", 1e-4)),

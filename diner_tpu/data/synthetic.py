@@ -132,3 +132,12 @@ class SyntheticSphereDataset:
         }
         validate_sample(sample)
         return sample
+
+    def get_cam_sweep_extrinsics(self, nframes, scan_idx=0, radius=2.2):
+        """Horizontal circle sweep around the scene (cam-sweep contract that
+        every dataset provides, diner.py:152-153)."""
+        exts = []
+        for a in np.linspace(0, 2 * np.pi, nframes, endpoint=False):
+            eye = np.array([radius * np.sin(a), 0.0, -radius * np.cos(a)])
+            exts.append(_lookat(eye))
+        return np.stack(exts)
