@@ -25,10 +25,13 @@ import jax
 # persistent compilation cache: the full render program takes minutes to
 # compile through this sandbox's remote-compile tunnel; cache artifacts under
 # the repo so repeat runs (e.g. the driver's) start in seconds
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+    # persistent cache for TPU programs only: CPU AOT artifacts are
+    # machine-feature sensitive (SIGILL risk across toolchain flags)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 
