@@ -152,3 +152,39 @@ def test_visualize_helpers(tmp_path):
     p1 = save_sample_grid(s, tmp_path / "grid.png")
     p2 = save_camera_rig(s["src_extrinsics"], tmp_path / "rig.png")
     assert p1.exists() and p2.exists()
+
+
+def test_facescape_pipeline_roundtrip(tmp_path):
+    """process_view + write_view produce files the FaceScape loader can read."""
+    from diner_tpu.preprocess.facescape_pipeline import (
+        process_view, write_view, write_cameras, apply_similarity)
+    from diner_tpu.data.codecs import read_depth_png
+
+    rng = np.random.RandomState(0)
+    H = W = 64
+    img = rng.randint(0, 255, (H, W, 3), dtype=np.uint8)
+    K = np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]])
+    dist = np.zeros(5)
+    ext = np.eye(4)
+
+    # quad at z=1.5m (already metric)
+    verts_mm = np.array([[-300, -300, 1500], [300, -300, 1500],
+                         [300, 300, 1500], [-300, 300, 1500]], float)
+    verts = apply_similarity(verts_mm, 1e-3, np.eye(3), np.zeros(3))
+    faces = np.array([[0, 1, 2], [0, 2, 3]])
+
+    rgba, depth, K2 = process_view(img, K, dist, ext, verts, faces,
+                                   crop_out=32)
+    assert rgba.shape == (32, 32, 4)
+    assert depth.shape == (32, 32)
+    np.testing.assert_allclose(depth[depth > 0], 1.5, rtol=1e-5)
+    assert rgba[..., 3].max() == 1.0
+
+    vdir = write_view(tmp_path, 3, rgba, depth)
+    assert (vdir / "rgba.png").exists()
+    np.testing.assert_allclose(
+        read_depth_png(vdir / "depth.png")[16, 16], 1.5, atol=1e-4)
+    p = write_cameras(tmp_path, {3: {"extrinsics": ext, "intrinsics": K2}})
+    import json as _json
+    cams = _json.loads(p.read_text())
+    assert "3" in cams and len(cams["3"]["extrinsics"]) == 3
