@@ -85,3 +85,29 @@ def test_compare_evaluations(tmp_path):
         dirs.append(d)
     out = compare_evaluations(dirs, ["a", "b"], tmp_path / "cmp")
     assert (out / "metric_violins.png").exists()
+
+
+def test_train_resume(tmp_path):
+    """Checkpoint resume: a second run continues from the saved step."""
+    import json
+    from diner_tpu.cli.train import main
+
+    logdir = tmp_path / "r"
+    main(["configs/train_synthetic.yaml", "--logdir", str(logdir),
+          "--max-steps", "4"])
+    run = sorted(logdir.iterdir())[-1]
+    # second invocation resumes in the same run dir
+    from diner_tpu.cli.build import build_dataset, build_loader, build_diner
+    from diner_tpu.core.config import load_config
+    from diner_tpu.train.loop import train as train_loop
+
+    conf = load_config("configs/train_synthetic.yaml")
+    train_set = build_dataset(conf["data"]["train"], stage="train")
+    loader = build_loader(conf["data"]["train"], train_set, True)
+    model = build_diner(conf, znear=train_set.znear, zfar=train_set.zfar)
+    state = train_loop(model, loader, run, max_steps=6, ckpt_every=0,
+                       log_every=1, resume=True)
+    metrics = [json.loads(l) for l in (run / "metrics.jsonl").read_text().splitlines()]
+    steps = [m["step"] for m in metrics if "total" in m]
+    assert 4 in steps and 5 in steps  # resumed past the first run's 0..3
+    assert int(state.step) >= 2  # optimizer stepped in the resumed run
