@@ -90,6 +90,10 @@ class PixelNeRF(nn.Module):
     # rematerialize the field MLP on backward: trades FLOPs for activation
     # memory so large ray batches train on one chip (SURVEY.md HBM note)
     remat_field: bool = False
+    # initial bias of the sigma output channel: keeps the relu density head
+    # alive at init (a dead head freezes training — zero compositing weights
+    # give zero gradients). 0.0 reproduces the reference's zero-bias init.
+    sigma_bias_init: float = 0.5
 
     @property
     def _dtype(self):
@@ -109,7 +113,9 @@ class PixelNeRF(nn.Module):
                            d_latent=self.encoder.latent_size,
                            d_hidden=self.d_hidden,
                            combine_layer=self.combine_layer,
-                           dtype=self._dtype)
+                           dtype=self._dtype,
+                           out_bias_init=(0.0, 0.0, 0.0, self.sigma_bias_init),
+                           zero_init_out_channels=(3,))
 
     def __call__(self, images, depths, depth_stds, extrinsics, intrinsics,
                  xyz, viewdirs, train: bool = False):

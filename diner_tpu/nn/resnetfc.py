@@ -61,6 +61,15 @@ class ResnetFC(nn.Module):
     d_hidden: int = 128
     combine_layer: int = 1000
     dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
+    # per-channel init for the output bias, with the marked channels' kernel
+    # columns zero-initialized. The sigma channel must start as a pure bias:
+    # relu(w . relu(h)) of a random projection is dead (negative) over whole
+    # input distributions at init — the point-independent component of the
+    # projection dominates — and a dead density head freezes NeRF training
+    # entirely (zero compositing weights -> zero gradients; observed in
+    # practice). sigma = bias at init keeps gradients alive everywhere.
+    out_bias_init: Optional[tuple] = None
+    zero_init_out_channels: tuple = ()
 
     @nn.compact
     def __call__(self, zx, combine_axis: int = 1):
@@ -89,6 +98,18 @@ class ResnetFC(nn.Module):
                 x = x + tz
             x = ResnetBlockFC(dtype=self.dtype, name=f"block_{blkid}")(x)
 
-        out = nn.Dense(self.d_out, kernel_init=_kaiming_exact, dtype=self.dtype,
-                       name="lin_out")(nn.relu(x))
+        if self.out_bias_init is not None:
+            bias_init = lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                self.out_bias_init, dtype)
+        else:
+            bias_init = nn.initializers.zeros
+
+        def kernel_init(key, shape, dtype=jnp.float32):
+            k = _kaiming_exact(key, shape, dtype)
+            for c in self.zero_init_out_channels:
+                k = k.at[:, c].set(0.0)
+            return k
+
+        out = nn.Dense(self.d_out, kernel_init=kernel_init, dtype=self.dtype,
+                       bias_init=bias_init, name="lin_out")(nn.relu(x))
         return out.astype(jnp.float32)
