@@ -94,6 +94,12 @@ class PixelNeRF(nn.Module):
     # alive at init (a dead head freezes training — zero compositing weights
     # give zero gradients). 0.0 reproduces the reference's zero-bias init.
     sigma_bias_init: float = 0.5
+    # "softplus" (default) has no dead region: background-dominated early
+    # gradients push sigma negative globally, and with relu that is an
+    # absorbing state (observed: irreversible collapse at every lr when
+    # training the full encoder from scratch). "relu" matches the reference
+    # exactly — use it for ported checkpoints.
+    sigma_activation: str = "softplus"
 
     @property
     def _dtype(self):
@@ -177,5 +183,8 @@ class PixelNeRF(nn.Module):
         out = self.mlp(mlp_in, 1)  # combine over the view axis -> (SB, B, 4)
 
         rgb = nn.sigmoid(out[..., :3])
-        sigma = nn.relu(out[..., 3:4])
+        if self.sigma_activation == "softplus":
+            sigma = nn.softplus(out[..., 3:4])
+        else:
+            sigma = nn.relu(out[..., 3:4])
         return jnp.concatenate([rgb, sigma], axis=-1)
