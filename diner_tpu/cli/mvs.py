@@ -113,7 +113,16 @@ def cmd_train(args):
     order = rng.permutation(len(ds))
     logdir = Path(args.logdir)
     logdir.mkdir(parents=True, exist_ok=True)
+    profiling = False
     for it in range(args.max_steps):
+        if getattr(args, "profile", False):
+            if it == 5 and not profiling:
+                jax.profiler.start_trace(str(logdir / "trace"))
+                profiling = True
+            elif it == 10 and profiling:
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"trace written to {logdir / 'trace'}", flush=True)
         idcs = order[(it * args.batch_size) % len(ds):][:args.batch_size]
         batch = _collate([ds[int(i)] for i in idcs])
         arrays = {k: v for k, v in batch.items()
@@ -122,6 +131,8 @@ def cmd_train(args):
         params, stats, opt_state, total = step(params, stats, opt_state, arrays)
         if it % args.log_every == 0:
             print(f"step {it}: loss {float(total):.4f}", flush=True)
+    if profiling:
+        jax.profiler.stop_trace()
     _save_ckpt(logdir / "ckpts", params, stats, args.max_steps)
     print("done ->", logdir)
 
@@ -192,6 +203,10 @@ def main(argv=None):
         p.add_argument("--seed", type=int, default=0)
         if name == "train":
             p.add_argument("--logdir", required=True)
+            p.add_argument("--profile", action="store_true",
+                           help="capture a jax.profiler trace of steps 5-10 "
+                                "(the reference's --mode=profile equivalent, "
+                                "deps/TransMVSNet/train.py:304-332)")
             p.add_argument("--lr", type=float, default=1e-3)
             p.add_argument("--lrepochs", default="10,12,14:2")
             p.add_argument("--dlossw", default="0.5,1.0,2.0")
