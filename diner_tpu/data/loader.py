@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 
 
 import numpy as np
@@ -24,7 +25,7 @@ class BatchLoader:
                  seed: int = 0, drop_last: bool = True,
                  num_threads: int = 4, prefetch: int = 2,
                  shard_across_processes: bool = True,
-                 arrays_only: bool = True):
+                 arrays_only: bool = True, io_retries: int = 3):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -33,6 +34,7 @@ class BatchLoader:
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.arrays_only = arrays_only
+        self.io_retries = io_retries
         if shard_across_processes:
             self.indices = process_local_slice(len(dataset))
         else:
@@ -60,9 +62,20 @@ class BatchLoader:
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(self.num_threads) as pool:
+                    def fetch(i):
+                        # shared-filesystem races get blanket retries in the
+                        # reference (facescape.py:218-289); bounded here
+                        for attempt in range(self.io_retries):
+                            try:
+                                return self.dataset[int(i)]
+                            except OSError:
+                                if attempt == self.io_retries - 1:
+                                    raise
+                                time.sleep(0.5 * (attempt + 1))
+
                     for b in range(n_batches):
                         chunk = idcs[b * self.batch_size:(b + 1) * self.batch_size]
-                        samples = list(pool.map(self.dataset.__getitem__, chunk))
+                        samples = list(pool.map(fetch, chunk))
                         batch = collate(samples)
                         if self.arrays_only:
                             batch = to_device_batch(batch)

@@ -188,3 +188,27 @@ def test_gipuma_cam_writer(tmp_path):
     write_gipuma_cam(tmp_path / "cam.txt", ext, K)
     P = np.loadtxt(tmp_path / "cam.txt")
     np.testing.assert_allclose(P, K @ ext[:3, :4], rtol=1e-6)
+
+
+def test_batch_loader_io_retry():
+    from diner_tpu.data.loader import BatchLoader
+
+    class Flaky:
+        def __init__(self):
+            self.fails = {1: 2}  # index 1 fails twice then succeeds
+
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if self.fails.get(i, 0) > 0:
+                self.fails[i] -= 1
+                raise OSError("transient")
+            return {"x": np.full((2, 2), i, np.float32)}
+
+    loader = BatchLoader(Flaky(), batch_size=2, shuffle=False,
+                         shard_across_processes=False, num_threads=1)
+    batches = list(loader)
+    assert len(batches) == 2
+    vals = sorted(float(b["x"][i, 0, 0]) for b in batches for i in range(2))
+    assert vals == [0.0, 1.0, 2.0, 3.0]  # the flaky sample recovered
