@@ -113,3 +113,14 @@ def test_remat_field_trains():
     step = make_train_step(model)
     state, losses = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(losses["total"]))
+
+
+def test_make_data_mesh_for_batch():
+    from diner_tpu.parallel import make_data_mesh_for_batch
+
+    # 8 devices available in tests; batch 2 -> 2-device mesh, batch 3 -> 1,
+    # batch 8 -> 8, batch 12 -> 4
+    assert make_data_mesh_for_batch(2).shape["data"] == 2
+    assert make_data_mesh_for_batch(3).shape["data"] == 1
+    assert make_data_mesh_for_batch(8).shape["data"] == 8
+    assert make_data_mesh_for_batch(12).shape["data"] == 4
