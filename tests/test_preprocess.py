@@ -188,3 +188,42 @@ def test_facescape_pipeline_roundtrip(tmp_path):
     import json as _json
     cams = _json.loads(p.read_text())
     assert "3" in cams and len(cams["3"]["extrinsics"]) == 3
+
+
+def test_general_eval_mvs_dataset(tmp_path):
+    """Standard MVSNet eval layout: pair.txt + cams + images."""
+    import imageio.v2 as imageio
+    from diner_tpu.mvs.datasets import GeneralEvalMVSDataset
+
+    scan = tmp_path / "scan9"
+    (scan / "images").mkdir(parents=True)
+    (scan / "cams").mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        imageio.imwrite(scan / "images" / f"{i:08d}.jpg",
+                        rng.randint(0, 255, (32, 40, 3), dtype=np.uint8))
+        ext = np.eye(4)
+        ext[0, 3] = i * 0.1
+        el = "\n".join(" ".join(str(v) for v in r) for r in ext)
+        K = np.array([[40.0, 0, 20], [0, 40.0, 16], [0, 0, 1]])
+        kl = "\n".join(" ".join(str(v) for v in r) for r in K)
+        (scan / "cams" / f"{i:08d}_cam.txt").write_text(
+            f"extrinsic\n{el}\n\nintrinsic\n{kl}\n\n425.0 2.5\n")
+    # pair.txt: 4 refs, each listing (count, [id score]*)
+    pair = ["4"]
+    for i in range(4):
+        srcs = [j for j in range(4) if j != i][:2]
+        pair.append(str(i))
+        pair.append(f"{len(srcs)} " + " ".join(f"{s} 100.0" for s in srcs))
+    (scan / "pair.txt").write_text("\n".join(pair) + "\n")
+
+    ds = GeneralEvalMVSDataset(tmp_path, ["scan9"], nviews=3, ndepths=8)
+    assert len(ds) == 4
+    s = ds[0]
+    assert s["imgs"].shape == (3, 32, 40, 3)
+    assert s["proj_matrices"]["stage1"].shape == (3, 2, 4, 4)
+    assert s["depth_values"].shape == (8,)
+    np.testing.assert_allclose(s["depth_values"][0], 425.0)
+    # interval scale applied
+    np.testing.assert_allclose(s["depth_values"][1] - s["depth_values"][0],
+                               2.5 * 1.06, rtol=1e-6)
