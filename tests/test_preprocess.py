@@ -226,4 +226,4 @@ def test_general_eval_mvs_dataset(tmp_path):
     np.testing.assert_allclose(s["depth_values"][0], 425.0)
     # interval scale applied
     np.testing.assert_allclose(s["depth_values"][1] - s["depth_values"][0],
-                               2.5 * 1.06, rtol=1e-6)
+                               2.5 * 1.06, rtol=1e-5)
