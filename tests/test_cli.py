@@ -111,3 +111,14 @@ def test_train_resume(tmp_path):
     steps = [m["step"] for m in metrics if "total" in m]
     assert 4 in steps and 5 in steps  # resumed past the first run's 0..3
     assert int(state.step) >= 2  # optimizer stepped in the resumed run
+
+
+def test_render_eval_nsamples_override(synth_run, tmp_path):
+    """--nsamples scales n_samples and n_gaussian (create_prediction_folder.py:44-47)."""
+    from diner_tpu.cli.render_eval import main
+
+    out = tmp_path / "eval16"
+    main(["--config", "configs/train_synthetic.yaml",
+          "--ckpt", str(synth_run / "ckpts"),
+          "--out", str(out), "--n", "1", "--nsamples", "16"])
+    assert (out / "average_scores.json").exists()
