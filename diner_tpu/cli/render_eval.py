@@ -25,6 +25,8 @@ def main(argv=None):
     ap.add_argument("--n", type=int, default=None, help="eval subset size")
     ap.add_argument("--nsamples", type=int, default=None,
                     help="override renderer n_samples (scales n_gaussian)")
+    ap.add_argument("--shard-rays", action="store_true",
+                    help="shard the ray axis over all devices (multi-chip)")
     args = ap.parse_args(argv)
 
     from diner_tpu.cli.build import build_dataset, build_diner
@@ -70,13 +72,36 @@ def main(argv=None):
     if state.batch_stats is not None:
         variables["batch_stats"] = state.batch_stats
 
-    def render_fn(batch, seed):
+    if args.shard_rays and len(jax.devices()) > 1:
+        from diner_tpu.geometry import gen_rays
+        from diner_tpu.parallel import make_mesh, replicate
+        from diner_tpu.renderer.sharded import render_image_sharded
         import jax.numpy as jnp
 
-        arrays = {k: jnp.asarray(v) for k, v in batch.items()
-                  if not isinstance(v, list)}
-        return model.apply(variables, arrays, jax.random.PRNGKey(seed),
-                           method="render_batch")
+        mesh = make_mesh(axis_names=("data",))
+        variables = replicate(variables, mesh)
+
+        def render_fn(batch, seed):
+            arrays = {k: jnp.asarray(v) for k, v in batch.items()
+                      if not isinstance(v, list)}
+            enc = replicate(model.apply(variables, arrays,
+                                        method="encode_batch"), mesh)
+            SB, H, W, _ = arrays["target_rgb"].shape
+            rays = gen_rays(arrays["target_extrinsics"],
+                            arrays["target_intrinsics"], W, H,
+                            jnp.full((SB,), model.znear),
+                            jnp.full((SB,), model.zfar))
+            return render_image_sharded(
+                lambda p, d: model.apply(variables, enc, p, d, method="field"),
+                jax.random.PRNGKey(seed), rays, enc, model.render_cfg, mesh)
+    else:
+        def render_fn(batch, seed):
+            import jax.numpy as jnp
+
+            arrays = {k: jnp.asarray(v) for k, v in batch.items()
+                      if not isinstance(v, list)}
+            return model.apply(variables, arrays, jax.random.PRNGKey(seed),
+                               method="render_batch")
 
     out = Path(args.out)
     visdir = create_prediction_folder(render_fn, val_set, out / "visualizations",

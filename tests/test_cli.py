@@ -122,3 +122,15 @@ def test_render_eval_nsamples_override(synth_run, tmp_path):
           "--ckpt", str(synth_run / "ckpts"),
           "--out", str(out), "--n", "1", "--nsamples", "16"])
     assert (out / "average_scores.json").exists()
+
+
+def test_render_eval_shard_rays(synth_run, tmp_path):
+    """--shard-rays renders over the virtual 8-device mesh."""
+    from diner_tpu.cli.render_eval import main
+
+    out = tmp_path / "eval_sharded"
+    main(["--config", "configs/train_synthetic.yaml",
+          "--ckpt", str(synth_run / "ckpts"),
+          "--out", str(out), "--n", "1", "--shard-rays"])
+    scores = (out / "average_scores.json")
+    assert scores.exists()
