@@ -71,12 +71,25 @@ def build_nerf(conf: Dict[str, Any]) -> PixelNeRF:
 
 def build_render_cfg(conf: Dict[str, Any]) -> RenderConfig:
     kw = dict(conf.get("kwargs", {}))
+    n_samples = int(kw.get("n_samples", 40))
+    # the reference's eval_batch_size counts POINTS (nerf_renderer.py:28);
+    # our render tiles are in RAYS — accept either knob from YAML
+    if "eval_chunk_rays" in kw:
+        eval_chunk_rays = int(kw["eval_chunk_rays"])
+    elif "eval_batch_size" in kw:
+        eval_chunk_rays = max(1, int(kw["eval_batch_size"]) // n_samples)
+    else:
+        eval_chunk_rays = 8192
     return RenderConfig(
-        n_samples=int(kw.get("n_samples", 40)),
+        n_samples=n_samples,
         n_depth_candidates=int(kw.get("n_depth_candidates", 1000)),
         n_gaussian=int(kw.get("n_gaussian", 15)),
         depth_diff_max=float(kw.get("depth_diff_max", 0.05)),
-        white_bkgd=bool(kw.get("white_bkgd", False)))
+        white_bkgd=bool(kw.get("white_bkgd", False)),
+        eval_chunk_rays=eval_chunk_rays,
+        approx_topk=bool(kw.get("approx_topk", True)),
+        prior_stride=int(kw.get("prior_stride", 1)),
+        n_prior_anchors=int(kw.get("n_prior_anchors", 0)))
 
 
 def build_diner(conf: Dict[str, Any], znear: float, zfar: float) -> DINER:
@@ -89,4 +102,5 @@ def build_diner(conf: Dict[str, Any], znear: float, zfar: float) -> DINER:
         w_vgg=float(opt_kw.get("w_vgg", 0.0)),
         vgg_spatch=int(opt_kw.get("vgg_spatch", 64)),
         w_antibias=float(opt_kw.get("w_antibias", 0.0)),
-        antibias_downsampling=int(opt_kw.get("antibias_downsampling", 3)))
+        antibias_downsampling=int(opt_kw.get("antibias_downsampling", 3)),
+        erode_fg_mask=int(opt_kw.get("erode_fg_mask", 0)))

@@ -52,6 +52,12 @@ class RenderConfig:
     n_gaussian: int = 15
     depth_diff_max: float = 0.05
     white_bkgd: bool = False
+    # rays per jitted render_image tile. The reference chunks the field eval
+    # by POINTS (`eval_batch_size=100000`, nerf_renderer.py:28,325); on TPU we
+    # tile by RAYS so every tensor in the tile keeps a static shape —
+    # eval_chunk_rays ~= eval_batch_size / n_samples. Bigger tiles amortize
+    # per-kernel overhead at the cost of peak HBM.
+    eval_chunk_rays: int = 8192
     # TPU-native approximate top-k (jax.lax.approx_max_k) for candidate
     # shortlisting: ~recall 0.95+ of the exact set; near-misses are adjacent
     # candidates with near-equal erf mass, so metric parity holds while the
@@ -64,3 +70,14 @@ class RenderConfig:
     # gather cost proportionally with sub-pixel-level approximation. 1 = exact
     # reference semantics.
     prior_stride: int = 1
+    # epipolar-anchor prior fetch: per (ray, view), all depth candidates
+    # project onto one straight epipolar segment in the source image; gather
+    # the priors at `n_prior_anchors` points spaced uniformly ALONG that
+    # segment (instead of at each of the `n_depth_candidates` projections) and
+    # give every candidate its nearest anchor's priors. Pixel-position error
+    # is <= chord_px / (2 * n_prior_anchors), i.e. within the reference's own
+    # +-0.5 px nearest-pixel quantization whenever the segment is shorter than
+    # n_prior_anchors pixels — while cutting the dominant gather count
+    # n_depth_candidates / n_prior_anchors-fold. 0 = exact per-candidate
+    # gathers (reference semantics). Mutually exclusive with prior_stride > 1.
+    n_prior_anchors: int = 0

@@ -39,6 +39,12 @@ class DINER(nn.Module):
     vgg_spatch: int = 64
     w_antibias: float = 0.0
     antibias_downsampling: int = 3
+    # morphological erosion radius (px) applied to the fg alpha before patch
+    # anchor sampling. The reference does NOT erode — diner.py:234-238 only
+    # zeros a `pad`-wide border before the multinomial draw (which
+    # _select_pixels reproduces); 0 keeps that exact behavior. >0 keeps whole
+    # patches inside soft silhouettes (useful on matted FaceScape alphas).
+    erode_fg_mask: int = 0
 
     @property
     def _patch_losses(self) -> bool:
@@ -73,6 +79,11 @@ class DINER(nn.Module):
         s = self.vgg_spatch
         pad = (s + 1) // 2
         fg = batch["target_alpha"][..., 0]  # (SB, H, W)
+        if self.erode_fg_mask > 0:
+            # min-filter erosion as a negated max-pool (window 2r+1, stride 1)
+            r = self.erode_fg_mask
+            fg = -nn.max_pool(-fg[..., None], (2 * r + 1, 2 * r + 1),
+                              strides=(1, 1), padding="SAME")[..., 0]
         border = jnp.zeros((H, W), bool).at[pad:H - pad, pad:W - pad].set(True)
         fg = jnp.where(border, fg, 0.0)
         logits = jnp.where(fg.reshape(SB, H * W) > 0,
@@ -124,9 +135,11 @@ class DINER(nn.Module):
         loss_dict["total"] = total
         return loss_dict
 
-    def render_batch(self, batch, rng, chunk: int = 4096,
+    def render_batch(self, batch, rng, chunk: Optional[int] = None,
                      target_extrinsics: Optional[jnp.ndarray] = None):
         """Full-image prediction (diner.py:72-97). Returns (rgb NHWC, depth NHW)."""
+        if chunk is None:
+            chunk = self.render_cfg.eval_chunk_rays
         SB, H, W, _ = batch["target_rgb"].shape
         enc = self.encode_batch(batch, train=False)
         ext = (batch["target_extrinsics"] if target_extrinsics is None

@@ -89,13 +89,63 @@ def gather_priors(enc: SceneEncoding, uv, pad: int = 100,
     return depth, std, normal
 
 
+def _remap_monotone(vals, a, method: str = "take"):
+    """Expand per-anchor values to per-candidate: out[..., t, :] = vals[..., a[..., t], :].
+
+    vals: (..., K, C); a: (..., NC) int32 in [0, K). `a` is monotone along the
+    epipolar chord. "take" lowers to a small-table batched gather; "dot" is an
+    MXU one-hot matmul (measure on target hardware; the one-hot operand is
+    materialized by XLA, so it trades HBM traffic for gather-unit pressure).
+    """
+    if method == "take":
+        return jnp.take_along_axis(vals, a[..., None], axis=-2)
+    K = vals.shape[-2]
+    onehot = a[..., None] == jnp.arange(K, dtype=a.dtype)
+    return jnp.einsum("...tk,...kc->...tc",
+                      onehot.astype(jnp.bfloat16),
+                      vals.astype(jnp.bfloat16)).astype(vals.dtype)
+
+
+def _anchor_priors(enc: SceneEncoding, uv, n_anchors: int):
+    """Epipolar-anchor prior fetch (RenderConfig.n_prior_anchors).
+
+    uv: (SB, NV, NR, NC, 2) candidate projections. All candidates of one
+    (ray, view) lie exactly on a straight segment in the image (the epipolar
+    line), so gather the priors at `n_anchors` points spaced uniformly along
+    the chord and give each candidate its nearest anchor. The chord parameter
+    of each candidate is recovered exactly by projecting uv onto the chord
+    (projections of collinear 3-D points are collinear), so the only
+    approximation is the anchor spacing: <= chord_px / (2 * n_anchors) pixels.
+    Degenerate chords (ray through the source camera center: every candidate
+    projects to one point) take the dd ~ 0 branch and read the mid anchor.
+    """
+    SB, NV, NR, NC, _ = uv.shape
+    A = n_anchors
+    uv0 = uv[..., :1, :]                    # (SB, NV, NR, 1, 2)
+    d = uv[..., -1:, :] - uv0               # (SB, NV, NR, 1, 2)
+    dd = jnp.sum(d * d, axis=-1)            # (SB, NV, NR, 1)
+    t = jnp.sum((uv - uv0) * d, axis=-1)    # (SB, NV, NR, NC)
+    s = jnp.where(dd > 1e-12, t / jnp.where(dd == 0, 1.0, dd), 0.5)
+    a = jnp.clip((jnp.clip(s, 0.0, 1.0) * A).astype(jnp.int32), 0, A - 1)
+
+    frac = ((jnp.arange(A, dtype=uv.dtype) + 0.5) / A)[:, None]  # (A, 1)
+    uv_anchor = uv0 + frac * d              # (SB, NV, NR, A, 2)
+    ad, astd, anrm = gather_priors(enc, uv_anchor.reshape(SB, NV, NR * A, 2))
+    vals = jnp.concatenate(
+        [ad[..., None], astd[..., None], anrm], axis=-1)  # (SB, NV, NR*A, 5)
+    out = _remap_monotone(vals.reshape(SB, NV, NR, A, 5), a)
+    return out[..., 0], out[..., 1], out[..., 2:5]
+
+
 def surface_likelihoods(rays, z, enc: SceneEncoding, depth_diff_max: float,
-                        prior_stride: int = 1):
+                        prior_stride: int = 1, n_prior_anchors: int = 0):
     """Per-candidate surface likelihoods from the MVS depth priors.
 
     rays: (SB, NR, 8); z: (SB, NR, NC) distances along the (unit) ray dirs.
     prior_stride > 1 gathers priors only every stride-th candidate and shares
     them within the group (RenderConfig.prior_stride rationale).
+    n_prior_anchors > 0 uses the epipolar-anchor fetch instead (see
+    RenderConfig.n_prior_anchors; mutually exclusive with prior_stride > 1).
     Returns (p, opaque_p), each (SB, NR, NC): raw max-over-views likelihood and
     its occlusion-aware (transmittance-weighted) variant.
     """
@@ -104,6 +154,8 @@ def surface_likelihoods(rays, z, enc: SceneEncoding, depth_diff_max: float,
     B = NR * NC
     s = prior_stride
     assert NC % s == 0
+    assert not (s > 1 and n_prior_anchors), \
+        "prior_stride and n_prior_anchors are mutually exclusive"
 
     xyz = rays[..., None, :3] + z[..., None] * rays[..., None, 3:6]
     xyz = xyz.reshape(SB, B, 3)
@@ -114,20 +166,24 @@ def surface_likelihoods(rays, z, enc: SceneEncoding, depth_diff_max: float,
     dirs_cam = jnp.einsum("svij,svrj->svri", enc.poses[..., :3, :3], dirs)
 
     uv = project_points(xyz_cam, enc.focal, enc.c, enc.image_shape)
-    if s > 1:
-        uv = uv.reshape(SB, NV, NR, NC, 2)[:, :, :, ::s]
-        uv = uv.reshape(SB, NV, NR * (NC // s), 2)
-    ref_depth, ref_std, ref_normal = gather_priors(enc, uv)
-    if s > 1:
-        rep = lambda a: jnp.repeat(a.reshape(SB, NV, NR, NC // s, *a.shape[3:]),
-                                   s, axis=3)
-        ref_depth = rep(ref_depth[..., None])[..., 0]
-        ref_std = rep(ref_std[..., None])[..., 0]
-        ref_normal = rep(ref_normal)
+    if n_prior_anchors:
+        ref_depth, ref_std, ref_normal = _anchor_priors(
+            enc, uv.reshape(SB, NV, NR, NC, 2), n_prior_anchors)
     else:
-        ref_depth = ref_depth.reshape(SB, NV, NR, NC)
-        ref_std = ref_std.reshape(SB, NV, NR, NC)
-        ref_normal = ref_normal.reshape(SB, NV, NR, NC, 3)
+        if s > 1:
+            uv = uv.reshape(SB, NV, NR, NC, 2)[:, :, :, ::s]
+            uv = uv.reshape(SB, NV, NR * (NC // s), 2)
+        ref_depth, ref_std, ref_normal = gather_priors(enc, uv)
+        if s > 1:
+            rep = lambda a: jnp.repeat(
+                a.reshape(SB, NV, NR, NC // s, *a.shape[3:]), s, axis=3)
+            ref_depth = rep(ref_depth[..., None])[..., 0]
+            ref_std = rep(ref_std[..., None])[..., 0]
+            ref_normal = rep(ref_normal)
+        else:
+            ref_depth = ref_depth.reshape(SB, NV, NR, NC)
+            ref_std = ref_std.reshape(SB, NV, NR, NC)
+            ref_normal = ref_normal.reshape(SB, NV, NR, NC, 3)
     z_cam = xyz_cam[..., 2].reshape(SB, NV, NR, NC)
 
     step = ((rays[..., 7] - rays[..., 6]) / NC)[:, None, :, None]  # (SB,1,NR,1)
@@ -180,7 +236,8 @@ def sample_depthguided(rng, rays, enc: SceneEncoding, cfg: RenderConfig):
 
     z_cand = sample_stratified(k_strat, rays, cfg.n_depth_candidates)
     p, opaque = surface_likelihoods(rays, z_cand, enc, cfg.depth_diff_max,
-                                    prior_stride=cfg.prior_stride)
+                                    prior_stride=cfg.prior_stride,
+                                    n_prior_anchors=cfg.n_prior_anchors)
 
     if cfg.approx_topk:
         top_p, top_idx = jax.lax.approx_max_k(p, cfg.n_samples)

@@ -1,0 +1,215 @@
+"""Round-2 perf experiments on the real chip. Usage:
+
+    python scripts/profile_r2.py remap        # anchor->candidate remap variants
+    python scripts/profile_r2.py components   # sampler / field / encode breakdown
+    python scripts/profile_r2.py chunks       # full render at several chunk sizes
+
+Each experiment prints one JSON line. Keep programs small; the axon tunnel's
+remote compiles are slow for big graphs (memory: 5-25 min for the full render).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from diner_tpu.utils.profiling import benchmark
+
+
+def report(name, res, **extra):
+    print(json.dumps({"exp": name, "min_s": round(res["min_s"], 5),
+                      "median_s": round(res["median_s"], 5), **extra}),
+          flush=True)
+
+
+# ---------------------------------------------------------------- remap
+def run_remap():
+    """Anchor-table -> per-candidate remap: which formulation is fastest?
+
+    B = SB*NV*NR collapsed batch; vals (B, K, C) anchor priors; a (B, NC)
+    monotone anchor ids. Want out (B, NC, C) = vals[b, a[b, t], :].
+    """
+    NR, NV, K, NC, C = 8192, 4, 128, 1000, 5
+    B = NR * NV
+    rng = np.random.default_rng(0)
+    vals = jnp.asarray(rng.standard_normal((B, K, C)), jnp.float32)
+    # monotone ids, like floor(s*K) along an epipolar chord
+    a = jnp.asarray(np.sort(rng.integers(0, K, (B, NC)), axis=-1), jnp.int32)
+
+    @jax.jit
+    def take(vals, a):
+        return jnp.take_along_axis(vals, a[..., None], axis=1)
+
+    @jax.jit
+    def msum(vals, a):
+        onehot = (a[..., None] == jnp.arange(K, dtype=a.dtype))  # (B, NC, K)
+        return jnp.einsum("btk,bkc->btc", onehot.astype(vals.dtype), vals)
+
+    @jax.jit
+    def msum_vpu(vals, a):
+        # explicit broadcast-multiply-reduce; relies on XLA loop fusion to
+        # never materialize the (B, NC, K, C) intermediate
+        onehot = (a[..., None] == jnp.arange(K, dtype=a.dtype))
+        return jnp.sum(onehot[..., None] * vals[:, None, :, :], axis=-2)
+
+    @jax.jit
+    def dot_tiled(vals, a):
+        tiles = 8
+        vals_t = vals.reshape(tiles, B // tiles, K, C)
+        a_t = a.reshape(tiles, B // tiles, NC)
+
+        def body(args):
+            v, ai = args
+            onehot = (ai[..., None] == jnp.arange(K, dtype=ai.dtype))
+            return jnp.einsum("btk,bkc->btc", onehot.astype(jnp.bfloat16),
+                              v.astype(jnp.bfloat16))
+        return jax.lax.map(body, (vals_t, a_t)).reshape(B, NC, C)
+
+    @jax.jit
+    def big_gather(table, idx):
+        return jnp.take(table, idx, axis=0, mode="clip")
+
+    for name, fn, args in [
+        ("remap/take_along_axis", take, (vals, a)),
+        ("remap/onehot_dot", msum, (vals, a)),
+        ("remap/onehot_vpu_sum", msum_vpu, (vals, a)),
+        ("remap/onehot_dot_tiled_bf16", dot_tiled, (vals, a)),
+    ]:
+        try:
+            res = benchmark(fn, *args, warmup=2, iters=5)
+            report(name, res, lookups=B * NC)
+        except Exception as e:  # OOM etc.
+            print(json.dumps({"exp": name, "error": repr(e)[:200]}), flush=True)
+
+    # reference points: the flat global gather at candidate and anchor counts
+    H, W = 256, 320
+    table = jnp.asarray(rng.standard_normal((NV * H * W, C)), jnp.float32)
+    idx_full = jnp.asarray(rng.integers(0, NV * H * W, (B * NC // NV,)), jnp.int32)
+    idx_anchor = jnp.asarray(rng.integers(0, NV * H * W, (B * K // NV,)), jnp.int32)
+    res = benchmark(big_gather, table, idx_full, warmup=2, iters=5)
+    report("gather/full_33M", res, lookups=idx_full.size)
+    res = benchmark(big_gather, table, idx_anchor, warmup=2, iters=5)
+    report("gather/anchor_4M", res, lookups=idx_anchor.size)
+
+
+# ------------------------------------------------------------ components
+def _bench_setup():
+    from diner_tpu.core.types import RenderConfig
+    from diner_tpu.data import SyntheticSphereDataset, collate, to_device_batch
+    from diner_tpu.models import PixelNeRF
+
+    H, W = 256, 320
+    model = PixelNeRF(encoder_layers=4, encoder_norm="group",
+                      image_padding=16, padding_pe=4,
+                      n_blocks=5, d_hidden=512, combine_layer=3,
+                      compute_dtype="bfloat16", quad_latent=True)
+    cfg = RenderConfig(n_samples=40, n_depth_candidates=1000, n_gaussian=15)
+    ds = SyntheticSphereDataset(n_scenes=1, n_views=4, H=H, W=W)
+    batch = to_device_batch(collate([ds[0]]))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(0)
+    xyz = jnp.zeros((1, 1, 3))
+    variables = model.init(rng, batch["src_rgbs"], batch["src_depths"],
+                           batch["src_depth_stds"], batch["src_extrinsics"],
+                           batch["src_intrinsics"], xyz, xyz)
+    return model, cfg, batch, variables, (H, W)
+
+
+def run_components():
+    from diner_tpu.data import SyntheticSphereDataset
+    from diner_tpu.geometry import gen_rays
+    from diner_tpu.renderer.composite import composite
+    from diner_tpu.sampler import sample_depthguided
+    from diner_tpu.sampler.depth_guided import surface_likelihoods, \
+        sample_stratified
+
+    model, cfg, batch, variables, (H, W) = _bench_setup()
+    CHUNK = 8192
+
+    @jax.jit
+    def encode(variables, batch):
+        return model.apply(variables, batch["src_rgbs"], batch["src_depths"],
+                           batch["src_depth_stds"], batch["src_extrinsics"],
+                           batch["src_intrinsics"], method="encode")
+
+    enc = encode(variables, batch)
+    rays_full = gen_rays(batch["target_extrinsics"], batch["target_intrinsics"],
+                         W, H, SyntheticSphereDataset.znear,
+                         SyntheticSphereDataset.zfar).reshape(1, H * W, 8)
+    rays = rays_full[:, :CHUNK]
+    rng = jax.random.PRNGKey(1)
+
+    @jax.jit
+    def sampler(rays, enc, rng):
+        return sample_depthguided(rng, rays, enc, cfg)
+
+    @jax.jit
+    def likelihoods(rays, enc, rng):
+        z = sample_stratified(rng, rays, cfg.n_depth_candidates)
+        return surface_likelihoods(rays, z, enc, cfg.depth_diff_max)
+
+    z = sampler(rays, enc, rng)
+
+    @jax.jit
+    def field_composite(variables, enc, rays, z):
+        return composite(
+            lambda p, d: model.apply(variables, enc, p, d, method="field"),
+            rays, z, cfg.white_bkgd)
+
+    res = benchmark(encode, variables, batch)
+    report("comp/encode_4views", res)
+    res = benchmark(likelihoods, rays, enc, rng)
+    report("comp/likelihoods_8192", res)
+    res = benchmark(sampler, rays, enc, rng)
+    report("comp/sampler_8192", res)
+    res = benchmark(field_composite, variables, enc, rays, z)
+    report("comp/field_composite_8192", res)
+
+
+def run_chunks():
+    from diner_tpu.data import SyntheticSphereDataset
+    from diner_tpu.geometry import gen_rays
+    from diner_tpu.renderer import render_image
+
+    model, cfg, batch, variables, (H, W) = _bench_setup()
+
+    for chunk in (8192, 16384):
+        @jax.jit
+        def render(variables, batch, rng, chunk=chunk):
+            enc = model.apply(variables, batch["src_rgbs"],
+                              batch["src_depths"], batch["src_depth_stds"],
+                              batch["src_extrinsics"], batch["src_intrinsics"],
+                              method="encode")
+            rays = gen_rays(batch["target_extrinsics"],
+                            batch["target_intrinsics"], W, H,
+                            SyntheticSphereDataset.znear,
+                            SyntheticSphereDataset.zfar)
+            return render_image(
+                lambda p, d: model.apply(variables, enc, p, d, method="field"),
+                jax.random.PRNGKey(0), rays, enc, cfg, chunk=chunk)
+
+        res = benchmark(render, variables, batch, jax.random.PRNGKey(0),
+                        warmup=2, iters=3)
+        report(f"render/chunk_{chunk}", res,
+               rays_per_sec=round(H * W / res["median_s"], 1))
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "remap"
+    {"remap": run_remap, "components": run_components,
+     "chunks": run_chunks}[which]()

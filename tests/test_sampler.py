@@ -186,6 +186,82 @@ def test_weighted_mean_and_std_util():
     np.testing.assert_allclose(float(s), 0.5)
 
 
+def test_anchor_priors_constant_maps_exact():
+    """Anchors vs exact on constant maps: identical for any anchor count."""
+    enc = _make_enc(depth=2.0, std=0.05)
+    rays = _center_rays(near=1.0, far=3.0)
+    step = 2.0 / 200
+    z = jnp.asarray((1.0 + (np.arange(200) + 0.5) * step)[None, None].astype(np.float32))
+    p_exact, _ = surface_likelihoods(rays, z, enc, 0.5)
+    p_anchor, _ = surface_likelihoods(rays, z, enc, 0.5, n_prior_anchors=16)
+    np.testing.assert_allclose(np.asarray(p_exact), np.asarray(p_anchor),
+                               rtol=1e-6)
+
+
+def test_anchor_priors_degenerate_chord():
+    """Ray through the source optical center: all candidates project to one
+    pixel (zero chord) — the dd~0 branch must reproduce the exact path."""
+    rng = np.random.RandomState(1)
+    enc = _make_enc(depth=2.0, std=0.05)
+    enc = enc.replace(depths=jnp.asarray(
+        rng.rand(1, 1, 16, 16, 1).astype(np.float32) + 1.0))
+    rays = _center_rays(near=1.0, far=3.0)  # +z through the principal point
+    z = sample_stratified(jax.random.PRNGKey(0), rays, 100)
+    p_exact, _ = surface_likelihoods(rays, z, enc, 2.0)
+    p_anchor, _ = surface_likelihoods(rays, z, enc, 2.0, n_prior_anchors=8)
+    np.testing.assert_allclose(np.asarray(p_exact), np.asarray(p_anchor),
+                               rtol=1e-6)
+
+
+def test_anchor_priors_short_chord_matches_exact():
+    """Off-axis ray with a ~2 px epipolar chord: with anchors spaced much
+    finer than a pixel, each candidate's anchor shares its nearest pixel, so
+    the likelihoods match the exact path except in a razor-thin rounding band."""
+    rng = np.random.RandomState(2)
+    H = W = 16
+    enc = _make_enc(H=H, W=W, depth=2.0, std=0.05)
+    enc = enc.replace(
+        depths=jnp.asarray(rng.rand(1, 1, H, W, 1).astype(np.float32) + 1.0),
+        depth_stds=jnp.asarray(
+            rng.rand(1, 1, H, W, 1).astype(np.float32) * 0.2 + 0.01))
+    rays = np.zeros((1, 1, 8), np.float32)
+    rays[..., 0] = 0.11  # offset origin -> u = f*0.11/z + cx sweeps ~1.5 px
+    rays[..., 5] = 1.0
+    rays[..., 6] = 1.0
+    rays[..., 7] = 3.0
+    rays = jnp.asarray(rays)
+    z = sample_stratified(jax.random.PRNGKey(0), rays, 300)
+    p_exact, _ = surface_likelihoods(rays, z, enc, 5.0)
+    p_anchor, _ = surface_likelihoods(rays, z, enc, 5.0, n_prior_anchors=256)
+    e, a = np.asarray(p_exact), np.asarray(p_anchor)
+    match = np.isclose(e, a, rtol=1e-5, atol=1e-8)
+    assert match.mean() >= 0.98, f"only {match.mean():.3f} matched"
+    # total likelihood mass preserved
+    np.testing.assert_allclose(e.sum(), a.sum(), rtol=0.05)
+
+
+def test_anchor_remap_dot_matches_take():
+    from diner_tpu.sampler.depth_guided import _remap_monotone
+
+    rng = np.random.RandomState(3)
+    vals = jnp.asarray(rng.rand(2, 3, 16, 5).astype(np.float32))
+    a = jnp.asarray(np.sort(rng.randint(0, 16, (2, 3, 40)), axis=-1))
+    out_take = np.asarray(_remap_monotone(vals, a, "take"))
+    out_dot = np.asarray(_remap_monotone(vals, a, "dot"))
+    # bf16 one-hot matmul: exact selection, values rounded to bf16
+    np.testing.assert_allclose(out_take, out_dot, rtol=1e-2, atol=1e-3)
+
+
+def test_sample_depthguided_anchor_concentrates():
+    d0, std = 2.0, 0.02
+    enc = _make_enc(depth=d0, std=std)
+    rays = _center_rays(near=1.0, far=3.0)
+    cfg = RenderConfig(n_samples=40, n_depth_candidates=500, n_gaussian=15,
+                       n_prior_anchors=32)
+    z = np.asarray(sample_depthguided(jax.random.PRNGKey(0), rays, enc, cfg))[0, 0]
+    assert (np.abs(z - d0) < 0.06).sum() >= 20
+
+
 def test_prior_stride_exact_on_smooth_maps():
     """stride=1 vs stride=4 on constant maps: identical; on a smooth scene,
     samples still concentrate at the surface."""

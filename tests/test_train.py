@@ -124,3 +124,59 @@ def test_make_data_mesh_for_batch():
     assert make_data_mesh_for_batch(3).shape["data"] == 1
     assert make_data_mesh_for_batch(8).shape["data"] == 8
     assert make_data_mesh_for_batch(12).shape["data"] == 4
+
+
+def test_patch_anchor_erosion_thin_ring():
+    """With erode_fg_mask > 0, anchors are never drawn from a thin alpha ring
+    (every fg pixel vanishes under erosion wider than the ring); with the
+    reference's raw-alpha behavior (erode=0) they land on the ring."""
+    import jax.numpy as jnp
+
+    H = W = 32
+    # thin ring + solid disk, both inside the border-zeroed window
+    # [pad, H-pad) = [8, 24)
+    yy, xx = np.mgrid[:H, :W]
+    r = np.sqrt((yy - H / 2) ** 2 + (xx - W / 2) ** 2)
+    alpha = ((np.abs(r - 6.5) < 0.7) | (r < 3)).astype(np.float32)
+    batch = {"target_alpha": jnp.asarray(alpha[None, ..., None])}
+
+    def centers(model, n=64):
+        out = []
+        for i in range(n):
+            pix = model._select_pixels(jax.random.PRNGKey(i), batch, 1, H, W)
+            # patch center = offset (pad, pad) from the top-left pixel
+            s, pad = model.vgg_spatch, (model.vgg_spatch + 1) // 2
+            first = int(np.asarray(pix)[0, 0])
+            cx, cy = first % W + pad, first // W + pad
+            out.append((cx, cy))
+        return np.array(out)
+
+    # force the patch path without building VGG weights
+    model_raw = _tiny_diner(w_antibias=1.0).bind({})
+    model_eroded = DINER(nerf=model_raw.nerf, render_cfg=model_raw.render_cfg,
+                         znear=model_raw.znear, zfar=model_raw.zfar,
+                         ray_batch_size=64, w_antibias=1.0, vgg_spatch=16,
+                         erode_fg_mask=2).bind({})
+
+    c_raw = centers(model_raw)
+    d_raw = np.sqrt(((c_raw - np.array([W / 2, H / 2])) ** 2).sum(-1))
+    assert (np.abs(d_raw - 6.5) < 1.5).any(), "raw sampling should hit the ring"
+
+    c_er = centers(model_eroded)
+    d_er = np.sqrt(((c_er - np.array([W / 2, H / 2])) ** 2).sum(-1))
+    assert (d_er < 3).all(), "eroded sampling must stay inside the solid disk"
+
+
+def test_build_render_cfg_knobs():
+    from diner_tpu.cli.build import build_render_cfg
+
+    cfg = build_render_cfg({"kwargs": {
+        "n_samples": 20, "eval_batch_size": 100000, "prior_stride": 2,
+        "approx_topk": False, "n_prior_anchors": 0}})
+    assert cfg.n_samples == 20
+    assert cfg.eval_chunk_rays == 5000  # 100000 points / 20 samples
+    assert cfg.prior_stride == 2 and cfg.approx_topk is False
+
+    cfg2 = build_render_cfg({"kwargs": {"eval_chunk_rays": 1234,
+                                        "n_prior_anchors": 128}})
+    assert cfg2.eval_chunk_rays == 1234 and cfg2.n_prior_anchors == 128
