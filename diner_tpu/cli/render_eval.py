@@ -48,14 +48,38 @@ def main(argv=None):
                 cfg, n_samples=args.nsamples,
                 n_gaussian=int(cfg.n_gaussian * scale)))
 
+    if args.torch_ckpt:
+        # minimum-slice path (SURVEY.md §7.4): eval a ported reference ckpt.
+        # The reference stack is BatchNorm + relu-sigma
+        # (image_encoder.py:58, nerf_renderer.py:311); force those regardless
+        # of what the YAML says, so a ported tree always matches the model.
+        from diner_tpu.models.torch_port import port_diner_checkpoint
+        from diner_tpu.nn.torch_port import load_torch_state_dict
+        from diner_tpu.nn import posenc_dim
+
+        ported, extras = port_diner_checkpoint(load_torch_state_dict(args.torch_ckpt))
+        nerf = model.nerf
+        forced = {}
+        if nerf.encoder_norm != "batch":
+            forced["encoder_norm"] = "batch"
+        if nerf.sigma_activation != "relu":
+            forced["sigma_activation"] = "relu"
+        expect_in = 3
+        if nerf.image_padding > 0 and nerf.padding_pe >= 0:
+            expect_in += posenc_dim(2, nerf.padding_pe, include_input=True)
+        got_in = extras["conv1_in_channels"]
+        if got_in != expect_in:
+            raise SystemExit(
+                f"checkpoint conv1 has {got_in} input channels but the config "
+                f"implies {expect_in} (3 + border-PE); set padding_pe/"
+                f"image_padding to match the training run")
+        if forced:
+            print(f"--torch-ckpt forces {forced}")
+            model = model.clone(nerf=nerf.clone(**forced))
+
     example = to_device_batch(collate([val_set[0]]))
     state = create_train_state(model, jax.random.PRNGKey(0), example)
     if args.torch_ckpt:
-        # minimum-slice path (SURVEY.md §7.4): eval a ported reference ckpt
-        from diner_tpu.models.torch_port import port_diner_checkpoint
-        from diner_tpu.nn.torch_port import load_torch_state_dict
-
-        ported, extras = port_diner_checkpoint(load_torch_state_dict(args.torch_ckpt))
         params = dict(state.params)
         params["nerf"] = ported["params"]
         bs = {"nerf": ported["batch_stats"]}

@@ -134,3 +134,47 @@ def test_render_eval_shard_rays(synth_run, tmp_path):
           "--out", str(out), "--n", "1", "--shard-rays"])
     scores = (out / "average_scores.json")
     assert scores.exists()
+
+
+def test_render_eval_torch_ckpt_forces_reference_arch(tmp_path):
+    """--torch-ckpt on a group-norm/softplus YAML must still evaluate: the CLI
+    forces encoder_norm=batch + sigma_activation=relu to match the ported tree
+    (VERDICT r1: previously produced a structure mismatch)."""
+    import torch
+    import yaml
+
+    import sys
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_model_port import _fake_lightning_sd
+
+    sd = {k: torch.as_tensor(np.asarray(v))
+          for k, v in _fake_lightning_sd().items()}
+    ckpt = tmp_path / "fake_lightning.ckpt"
+    torch.save({"state_dict": sd}, ckpt)
+
+    conf = {
+        "data": {"val": {"dataset": {
+            "module": "SyntheticSphereDataset",
+            "kwargs": {"n_scenes": 1, "n_views": 2, "H": 32, "W": 32,
+                       "seed": 7}}}},
+        # deliberately the WRONG norm/activation: the CLI must force them
+        "nerf": {"kwargs": {
+            "sigma_activation": "softplus",
+            "encoder_conf": {"kwargs": {"num_layers": 4, "norm": "group",
+                                        "image_padding": 64, "padding_pe": 4}},
+            "poscode_conf": {"kwargs": {"num_freqs": 6, "freq_factor": 6.28}},
+            "mlp_fine_conf": {"kwargs": {"n_blocks": 5, "d_hidden": 512,
+                                         "combine_layer": 3}}}},
+        "renderer": {"kwargs": {"n_samples": 6, "n_depth_candidates": 32,
+                                "n_gaussian": 2}},
+    }
+    cfg_path = tmp_path / "eval_ported.yaml"
+    cfg_path.write_text(yaml.safe_dump(conf))
+
+    from diner_tpu.cli.render_eval import main
+
+    out = tmp_path / "eval_out"
+    main(["--config", str(cfg_path), "--torch-ckpt", str(ckpt),
+          "--out", str(out), "--n", "1"])
+    scores = json.loads((out / "average_scores.json").read_text())
+    assert np.isfinite(list(scores.values())).all()
