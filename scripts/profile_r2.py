@@ -209,7 +209,102 @@ def run_chunks():
                rays_per_sec=round(H * W / res["median_s"], 1))
 
 
+
+
+def run_anchors():
+    """Anchor-path cost questions: remap via take_along_axis at real shapes,
+    anchor likelihoods end-to-end vs exact, coherent prior gather cost."""
+    from diner_tpu.data import SyntheticSphereDataset
+    from diner_tpu.geometry import gen_rays
+    from diner_tpu.sampler.depth_guided import (
+        surface_likelihoods, sample_stratified, gather_priors, _remap_monotone)
+    from diner_tpu.geometry import transform_points, project_points
+
+    model, cfg, batch, variables, (H, W) = _bench_setup()
+    CHUNK = 8192
+
+    @jax.jit
+    def encode(variables, batch):
+        return model.apply(variables, batch["src_rgbs"], batch["src_depths"],
+                           batch["src_depth_stds"], batch["src_extrinsics"],
+                           batch["src_intrinsics"], method="encode")
+
+    enc = encode(variables, batch)
+    rays = gen_rays(batch["target_extrinsics"], batch["target_intrinsics"],
+                    W, H, SyntheticSphereDataset.znear,
+                    SyntheticSphereDataset.zfar).reshape(1, H * W, 8)[:, :CHUNK]
+    rng = jax.random.PRNGKey(1)
+
+    # (isolated remap microbench removed: XLA pads a standalone
+    # (B, NC, 5) f32 copy to (8,128) tiles -> 25x HBM blowup; the in-context
+    # lik/anchor* experiments below measure the real remap cost instead)
+    # coherent prior gather (the real uv pattern), exact vs anchors
+    for name, kw in [("exact", {}), ("anchor64", {"n_prior_anchors": 64}),
+                     ("anchor128", {"n_prior_anchors": 128}),
+                     ("stride4", {"prior_stride": 4})]:
+        @jax.jit
+        def lik(rays, enc, rng, kw=kw):
+            z = sample_stratified(rng, rays, cfg.n_depth_candidates)
+            return surface_likelihoods(rays, z, enc, cfg.depth_diff_max, **kw)
+        res = benchmark(lik, rays, enc, rng)
+        report(f"lik/{name}", res)
+
+
+def run_render2():
+    """Full-frame render: anchors on/off x chunk size x quad_latent."""
+    from diner_tpu.core.types import RenderConfig
+    from diner_tpu.data import SyntheticSphereDataset, collate, to_device_batch
+    from diner_tpu.geometry import gen_rays
+    from diner_tpu.models import PixelNeRF
+    from diner_tpu.renderer import render_image
+
+    H, W = 256, 320
+    ds = SyntheticSphereDataset(n_scenes=1, n_views=4, H=H, W=W)
+    batch = to_device_batch(collate([ds[0]]))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(0)
+    xyz = jnp.zeros((1, 1, 3))
+
+    for tag, quad, anchors, chunk in [
+        ("anchor128_quad_8192", True, 128, 8192),
+        ("anchor128_noquad_16384", False, 128, 16384),
+        ("exact_noquad_16384", False, 0, 16384),
+    ]:
+        model = PixelNeRF(encoder_layers=4, encoder_norm="group",
+                          image_padding=16, padding_pe=4,
+                          n_blocks=5, d_hidden=512, combine_layer=3,
+                          compute_dtype="bfloat16", quad_latent=quad)
+        cfg = RenderConfig(n_samples=40, n_depth_candidates=1000,
+                           n_gaussian=15, n_prior_anchors=anchors)
+        variables = model.init(rng, batch["src_rgbs"], batch["src_depths"],
+                               batch["src_depth_stds"], batch["src_extrinsics"],
+                               batch["src_intrinsics"], xyz, xyz)
+
+        @jax.jit
+        def render(variables, batch, rng, model=model, cfg=cfg, chunk=chunk):
+            enc = model.apply(variables, batch["src_rgbs"],
+                              batch["src_depths"], batch["src_depth_stds"],
+                              batch["src_extrinsics"], batch["src_intrinsics"],
+                              method="encode")
+            rays = gen_rays(batch["target_extrinsics"],
+                            batch["target_intrinsics"], W, H,
+                            SyntheticSphereDataset.znear,
+                            SyntheticSphereDataset.zfar)
+            return render_image(
+                lambda p, d: model.apply(variables, enc, p, d, method="field"),
+                rng, rays, enc, cfg, chunk=chunk)
+
+        try:
+            res = benchmark(render, variables, batch, jax.random.PRNGKey(0),
+                            warmup=2, iters=3)
+            report(f"render/{tag}", res,
+                   rays_per_sec=round(H * W / res["median_s"], 1))
+        except Exception as e:
+            print(json.dumps({"exp": f"render/{tag}",
+                              "error": repr(e)[:300]}), flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "remap"
-    {"remap": run_remap, "components": run_components,
-     "chunks": run_chunks}[which]()
+    {"remap": run_remap, "components": run_components, "chunks": run_chunks,
+     "anchors": run_anchors, "render2": run_render2}[which]()
