@@ -25,9 +25,15 @@ import optax
 def _build_net(args):
     from diner_tpu.mvs import TransMVSNet
 
+    kw = {}
+    if getattr(args, "cr_base_chs", ""):
+        kw["cr_base_chs"] = tuple(int(x) for x in args.cr_base_chs.split(","))
+    if getattr(args, "base_channels", 0):
+        kw["base_channels"] = int(args.base_channels)
     return TransMVSNet(ndepths=tuple(int(x) for x in args.ndepths.split(",")),
                        depth_intervals_ratio=tuple(
-                           float(x) for x in args.depth_inter_r.split(",")))
+                           float(x) for x in args.depth_inter_r.split(",")),
+                       **kw)
 
 
 def warmup_multistep(lr: float, warmup_iters: int = 500,
@@ -190,6 +196,217 @@ def cmd_write(args):
             print(f"wrote {i + 1}/{len(ds)}", flush=True)
 
 
+def _restore_net_variables(net, args, example):
+    imgs = jnp.asarray(example["imgs"])[None]
+    projs = {k: jnp.asarray(v)[None] for k, v in example["proj_matrices"].items()}
+    dvals = jnp.asarray(example["depth_values"])[None]
+    variables = net.init(jax.random.PRNGKey(0), imgs, projs, dvals)
+    if args.ckpt:
+        import orbax.checkpoint as ocp
+
+        with ocp.CheckpointManager(str(Path(args.ckpt).resolve())) as mgr:
+            target = {"params": variables["params"],
+                      "batch_stats": variables["batch_stats"]}
+            variables = mgr.restore(mgr.latest_step(),
+                                    args=ocp.args.StandardRestore(target))
+    return variables
+
+
+def cmd_eval(args):
+    """Per-scan depth/conf/cam/image writing — the reference's
+    save_scene_depth (deps/TransMVSNet/test.py:136-218): for every ref view
+    write depth_est/XXXXXXXX.pfm, confidence/XXXXXXXX.pfm (final = stage3
+    photometric conf x upsampled stage1/stage2 confs), cams/XXXXXXXX_cam.txt
+    and images/XXXXXXXX.png under <outdir>/<scan>/."""
+    from PIL import Image
+
+    from diner_tpu.data.codecs import write_pfm, write_mvsnet_cam
+    from diner_tpu.mvs.datasets import GeneralEvalMVSDataset
+
+    scans = _read_testlist(args)
+    ds = GeneralEvalMVSDataset(args.datapath, scans, nviews=args.num_view,
+                               ndepths=args.numdepth,
+                               interval_scale=args.interval_scale,
+                               img_ext=args.img_ext)
+    net = _build_net(args)
+    variables = _restore_net_variables(net, args, ds[0])
+
+    @jax.jit
+    def infer(imgs, projs, dvals):
+        out = net.apply({"params": variables["params"],
+                         "batch_stats": variables["batch_stats"]},
+                        imgs, projs, dvals)
+        conf = out["photometric_confidence"]  # (B, H, W)
+        H, W = conf.shape[-2:]
+        up = lambda c: jax.image.resize(c, (*c.shape[:-2], H, W), "bilinear")
+        conf_final = (conf * up(out["stage1"]["photometric_confidence"])
+                      * up(out["stage2"]["photometric_confidence"]))
+        return out["depth"], conf_final
+
+    out_root = Path(args.outdir)
+    for i in range(len(ds)):
+        s = ds[i]
+        depth, conf = infer(
+            jnp.asarray(s["imgs"])[None],
+            {k: jnp.asarray(v)[None] for k, v in s["proj_matrices"].items()},
+            jnp.asarray(s["depth_values"])[None])
+        ref = int(s["view_ids"][0])
+        scan_dir = out_root / s["scan"]
+        for sub in ("depth_est", "confidence", "cams", "images"):
+            (scan_dir / sub).mkdir(parents=True, exist_ok=True)
+        write_pfm(scan_dir / "depth_est" / f"{ref:08d}.pfm",
+                  np.asarray(depth[0]))
+        write_pfm(scan_dir / "confidence" / f"{ref:08d}.pfm",
+                  np.asarray(conf[0]))
+        # stage3 cam: intrinsics at full prediction resolution
+        proj = s["proj_matrices"]["stage3"][0]
+        dv = s["depth_values"]
+        dint = float(dv[1] - dv[0]) if len(dv) > 1 else 1.0
+        write_mvsnet_cam(scan_dir / "cams" / f"{ref:08d}_cam.txt",
+                         proj[0], proj[1][:3, :3], float(dv[0]), dint)
+        img = (np.clip(s["imgs"][0], 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(img).save(scan_dir / "images" / f"{ref:08d}.png")
+        if i % 20 == 0:
+            print(f"eval wrote {i + 1}/{len(ds)}", flush=True)
+
+
+def _read_testlist(args):
+    p = Path(args.testlist)
+    if p.exists():
+        return [ln.strip() for ln in p.read_text().splitlines() if ln.strip()]
+    return [s for s in args.testlist.split(",") if s]
+
+
+def _read_scan_outputs(scan_dir, pair_path):
+    """Read back an eval folder: per-view depth/conf/cam/img + pair lists."""
+    from PIL import Image
+
+    from diner_tpu.data.codecs import read_pfm, read_mvsnet_cam
+
+    pair = Path(pair_path).read_text().splitlines()
+    n = int(pair[0])
+    metas = []
+    for i in range(n):
+        ref = int(pair[1 + 2 * i])
+        srcs = [int(x) for x in pair[2 + 2 * i].split()[1::2]]
+        if srcs:
+            metas.append((ref, srcs))
+
+    views = sorted({v for r, ss in metas for v in [r] + ss})
+    data = {}
+    for v in views:
+        dp = scan_dir / "depth_est" / f"{v:08d}.pfm"
+        if not dp.exists():
+            continue
+        ext, K, _ = read_mvsnet_cam(scan_dir / "cams" / f"{v:08d}_cam.txt")
+        img_p = scan_dir / "images" / f"{v:08d}.png"
+        img = (np.asarray(Image.open(img_p), np.float32) / 255.0
+               if img_p.exists() else None)
+        data[v] = {
+            "depth": read_pfm(dp)[0],
+            "conf": read_pfm(scan_dir / "confidence" / f"{v:08d}.pfm")[0],
+            "K": K, "ext": ext, "img": img,
+        }
+    return metas, data
+
+
+def cmd_fuse(args):
+    """Depth-map fusion to a point cloud — the reference's filter stage
+    (test.py:388-444 'normal', 'dynamic'; gipuma.py:111-226 'gipuma', here
+    the XLA consensus equivalent): probability filter -> geometric
+    consistency -> masked backprojection -> PLY."""
+    from diner_tpu.fusion.consistency import (
+        check_geometric_consistency, filter_depths_dynamic,
+        depths_to_world_points)
+    from diner_tpu.fusion.consensus import consensus_fusion
+    from diner_tpu.fusion.ply import write_ply
+
+    out_root = Path(args.outdir)
+    for scan in _read_testlist(args):
+        scan_dir = out_root / scan
+        pair = Path(args.datapath) / scan / "pair.txt"
+        metas, data = _read_scan_outputs(scan_dir, pair)
+        if not data:
+            print(f"{scan}: no eval outputs found, skipping")
+            continue
+
+        if args.method == "normal":
+            pts, cols = _fuse_normal(metas, data, args)
+        else:
+            views = sorted(data)
+            depths = jnp.stack([data[v]["depth"] for v in views])
+            Ks = jnp.stack([data[v]["K"] for v in views])
+            exts = jnp.stack([data[v]["ext"] for v in views])
+            confs = jnp.stack([data[v]["conf"] for v in views])
+            cols_in = jnp.stack([data[v]["img"] for v in views])
+            if args.method == "dynamic":
+                avg, mask = filter_depths_dynamic(depths, Ks, exts, confs,
+                                                  conf_thresh=args.conf)
+                pts, cols = depths_to_world_points(avg, Ks, exts, cols_in, mask)
+            elif args.method == "consensus":
+                # probability filter first (gipuma.py:111-142 equivalent:
+                # 0-depth marks invalid), then XLA consensus
+                out = consensus_fusion(depths * (confs > args.conf), Ks, exts,
+                                       colors=cols_in,
+                                       num_consistent=args.num_consistent)
+                keep = np.asarray(out["keep"])
+                pts = np.asarray(out["points"])[keep]
+                cols = np.asarray(out["colors"])[keep]
+            else:
+                raise SystemExit(f"unknown fuse method {args.method}")
+
+        if scan.startswith("scan") and scan[4:].isdigit():
+            name = f"mvsnet{int(scan[4:]):03d}_l3.ply"
+        else:
+            name = f"{scan}.ply"
+        ply_path = out_root / name
+        write_ply(ply_path, np.asarray(pts), colors=np.asarray(cols))
+        print(f"{scan}: fused {len(pts)} points -> {ply_path}")
+
+
+def _fuse_normal(metas, data, args):
+    """Pair-list-driven consistency filter (test.py:288-370): photo mask
+    conf > thresh; geo mask = >= thres_view consistent source reprojections;
+    fused depth = mean over consistent reprojections + own."""
+    from diner_tpu.fusion.consistency import check_geometric_consistency
+
+    pts_all, col_all = [], []
+    for ref, srcs in metas:
+        if ref not in data:
+            continue
+        d = data[ref]
+        geo_sum = 0
+        dep_sum = 0.0
+        for s in srcs:
+            if s not in data:
+                continue
+            mask, dep = check_geometric_consistency(
+                jnp.asarray(d["depth"]), jnp.asarray(d["K"]),
+                jnp.asarray(d["ext"]), jnp.asarray(data[s]["depth"]),
+                jnp.asarray(data[s]["K"]), jnp.asarray(data[s]["ext"]))
+            geo_sum = geo_sum + mask.astype(np.int32)
+            dep_sum = dep_sum + dep
+        avg = (dep_sum + d["depth"]) / (geo_sum + 1)
+        final = (d["conf"] > args.conf) & np.asarray(geo_sum >= args.thres_view)
+        m = np.asarray(final)
+        if not m.any():
+            continue
+        H, W = d["depth"].shape
+        gx, gy = np.meshgrid(np.arange(W), np.arange(H))
+        x, y, dd = gx[m], gy[m], np.asarray(avg)[m]
+        xyz_cam = np.linalg.inv(d["K"]) @ (np.stack([x, y, np.ones_like(x)]) * dd)
+        pose = np.linalg.inv(d["ext"])
+        xyz_w = (pose[:3, :3] @ xyz_cam + pose[:3, 3:4]).T
+        pts_all.append(xyz_w.astype(np.float32))
+        img = d["img"]
+        col = (img[m] * 255).astype(np.uint8) if img is not None \
+            else np.full((m.sum(), 3), 128, np.uint8)
+        col_all.append(col)
+    if not pts_all:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8)
+    return np.concatenate(pts_all), np.concatenate(col_all)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -216,8 +433,39 @@ def main(argv=None):
         else:
             p.add_argument("--ckpt", default=None)
             p.add_argument("--scale", type=float, default=872.0 / 0.7)
+
+    pe = sub.add_parser("eval", help="save_scene_depth equivalent "
+                                     "(test.py:136-218)")
+    pe.add_argument("--datapath", required=True)
+    pe.add_argument("--testlist", required=True,
+                    help="scan-list file or comma-separated scan names")
+    pe.add_argument("--outdir", required=True)
+    pe.add_argument("--ckpt", default=None)
+    pe.add_argument("--ndepths", default="48,32,8")
+    pe.add_argument("--depth_inter_r", default="4,2,1")
+    pe.add_argument("--numdepth", type=int, default=192)
+    pe.add_argument("--num_view", type=int, default=5)
+    pe.add_argument("--interval_scale", type=float, default=1.06)
+    pe.add_argument("--img_ext", default=".jpg")
+    pe.add_argument("--cr_base_chs", default="",
+                    help="cost-reg base channels, e.g. 8,8,8")
+    pe.add_argument("--base_channels", type=int, default=0,
+                    help="FPN base channels override")
+
+    pf = sub.add_parser("fuse", help="depth-map fusion to PLY "
+                                     "(test.py:388-444 / gipuma.py:153-226)")
+    pf.add_argument("--datapath", required=True, help="dir with <scan>/pair.txt")
+    pf.add_argument("--testlist", required=True)
+    pf.add_argument("--outdir", required=True, help="eval output dir")
+    pf.add_argument("--method", default="normal",
+                    choices=("normal", "dynamic", "consensus"))
+    pf.add_argument("--conf", type=float, default=0.5)
+    pf.add_argument("--thres_view", type=int, default=3)
+    pf.add_argument("--num_consistent", type=int, default=3)
+
     args = ap.parse_args(argv)
-    {"train": cmd_train, "write": cmd_write}[args.cmd](args)
+    {"train": cmd_train, "write": cmd_write, "eval": cmd_eval,
+     "fuse": cmd_fuse}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,112 @@
+"""MVS eval + fuse CLI: the test.py-equivalent pipeline on synthetic fixtures.
+
+scan dir (images/cams/pair.txt) -> `mvs eval` (depth/conf/cam/image writing,
+test.py:136-218 contract) -> `mvs fuse` normal/dynamic/consensus
+(test.py:388-444, gipuma.py equivalents) -> a readable PLY.
+"""
+
+import numpy as np
+import pytest
+from pathlib import Path
+
+from diner_tpu.data.codecs import read_pfm, write_pfm, write_mvsnet_cam, \
+    read_mvsnet_cam
+from diner_tpu.fusion.ply import read_ply
+
+H, W, V = 32, 32, 4
+DEPTH = 2.0
+
+
+def _cams():
+    exts = np.tile(np.eye(4, dtype=np.float32), (V, 1, 1))
+    for v in range(V):
+        exts[v, 0, 3] = 0.08 * (v - 1.5)  # small x-baselines
+    K = np.zeros((V, 3, 3), np.float32)
+    K[:, 0, 0] = K[:, 1, 1] = 40.0
+    K[:, 0, 2], K[:, 1, 2], K[:, 2, 2] = W / 2, H / 2, 1.0
+    return exts, K
+
+
+@pytest.fixture()
+def scan_dir(tmp_path):
+    from PIL import Image
+
+    scan = tmp_path / "data" / "scan9"
+    (scan / "images").mkdir(parents=True)
+    (scan / "cams").mkdir()
+    rng = np.random.RandomState(0)
+    exts, K = _cams()
+    for v in range(V):
+        img = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(scan / "images" / f"{v:08d}.png")
+        write_mvsnet_cam(scan / "cams" / f"{v:08d}_cam.txt", exts[v], K[v],
+                         1.0, 2.0 / 32)
+    lines = [str(V)]
+    for v in range(V):
+        srcs = [s for s in range(V) if s != v]
+        lines.append(str(v))
+        lines.append(f"{len(srcs)} " + " ".join(f"{s} 100.0" for s in srcs))
+    (scan / "pair.txt").write_text("\n".join(lines) + "\n")
+    return tmp_path
+
+
+def test_mvs_eval_writes_scene_depth(scan_dir):
+    from diner_tpu.cli.mvs import main
+
+    out = scan_dir / "out"
+    main(["eval", "--datapath", str(scan_dir / "data"),
+          "--testlist", "scan9", "--outdir", str(out),
+          "--ndepths", "8,8,8", "--depth_inter_r", "4,2,1",
+          "--numdepth", "32", "--num_view", "4",
+          "--cr_base_chs", "4,4,4", "--base_channels", "4",
+          "--img_ext", ".png"])
+
+    for v in range(V):
+        d, _ = read_pfm(out / "scan9" / "depth_est" / f"{v:08d}.pfm")
+        c, _ = read_pfm(out / "scan9" / "confidence" / f"{v:08d}.pfm")
+        assert d.shape == (H, W) and c.shape == (H, W)
+        assert np.isfinite(d).all() and (c >= 0).all() and (c <= 1.001).all()
+        ext, K, _ = read_mvsnet_cam(out / "scan9" / "cams" / f"{v:08d}_cam.txt")
+        assert ext.shape == (4, 4) and K.shape == (3, 3)
+        assert (out / "scan9" / "images" / f"{v:08d}.png").exists()
+
+
+@pytest.fixture()
+def fused_inputs(scan_dir):
+    """Doctored eval outputs: exact plane depths + full confidence, so the
+    fusion math (not the random-weight net) is what's under test."""
+    from PIL import Image
+
+    out = scan_dir / "out"
+    exts, K = _cams()
+    for v in range(V):
+        sd = out / "scan9"
+        for sub in ("depth_est", "confidence", "cams", "images"):
+            (sd / sub).mkdir(parents=True, exist_ok=True)
+        write_pfm(sd / "depth_est" / f"{v:08d}.pfm",
+                  np.full((H, W), DEPTH, np.float32))
+        write_pfm(sd / "confidence" / f"{v:08d}.pfm",
+                  np.full((H, W), 0.9, np.float32))
+        write_mvsnet_cam(sd / "cams" / f"{v:08d}_cam.txt", exts[v], K[v],
+                         1.0, 2.0 / 32)
+        img = np.full((H, W, 3), 100 + 10 * v, np.uint8)
+        Image.fromarray(img).save(sd / "images" / f"{v:08d}.png")
+    return scan_dir
+
+
+@pytest.mark.parametrize("method", ["normal", "dynamic", "consensus"])
+def test_mvs_fuse_plane_to_ply(fused_inputs, method):
+    from diner_tpu.cli.mvs import main
+
+    out = fused_inputs / "out"
+    main(["fuse", "--datapath", str(fused_inputs / "data"),
+          "--testlist", "scan9", "--outdir", str(out), "--method", method,
+          "--conf", "0.5"])
+    ply = out / "mvsnet009_l3.ply"
+    assert ply.exists()
+    out_ply = read_ply(ply)
+    pts, cols = out_ply["points"], out_ply.get("colors")
+    assert len(pts) > 100, f"{method}: too few fused points"
+    # consistent plane at z=2: world points must sit on it
+    assert np.abs(pts[:, 2] - DEPTH).max() < 1e-3
+    assert cols is not None and len(cols) == len(pts)
