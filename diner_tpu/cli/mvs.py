@@ -62,11 +62,27 @@ def _collate(samples):
 
 
 def cmd_train(args):
-    from diner_tpu.mvs import mvs_loss
-    from diner_tpu.mvs.datasets import DTUMVSDataset
+    _train_impl(args, use_focal=False)
 
-    ds = DTUMVSDataset(args.datapath, args.listfile, mode="train",
-                       ndepths=args.numdepth)
+
+def cmd_finetune(args):
+    """BlendedMVS finetuning — the reference's finetune.py: same cascade
+    trained with focal_loss_bld (entropy + interval-normalized EPE metrics)
+    on bld_train-layout data."""
+    _train_impl(args, use_focal=True)
+
+
+def _train_impl(args, use_focal: bool):
+    from diner_tpu.mvs import mvs_loss
+    from diner_tpu.mvs.losses import mvs_loss_focal
+    from diner_tpu.mvs.datasets import DTUMVSDataset, BlendedMVSDataset
+
+    if use_focal:
+        ds = BlendedMVSDataset(args.datapath, args.listfile, mode="train",
+                               ndepths=args.numdepth)
+    else:
+        ds = DTUMVSDataset(args.datapath, args.listfile, mode="train",
+                           ndepths=args.numdepth)
     net = _build_net(args)
 
     sample = _collate([ds[0]])
@@ -103,9 +119,12 @@ def cmd_train(args):
                 mutable=["batch_stats"])
             gt = {k: jnp.asarray(v) for k, v in batch["depth"].items()}
             msk = {k: jnp.asarray(v) for k, v in batch["mask"].items()}
-            total, aux = mvs_loss(out, gt, msk,
-                                  dlossw=tuple(float(x) for x in
-                                               args.dlossw.split(",")))
+            dlossw = tuple(float(x) for x in args.dlossw.split(","))
+            if use_focal:
+                dint = jnp.asarray(batch["depth_interval"])[:, None, None]
+                total, aux = mvs_loss_focal(out, gt, msk, dint, dlossw=dlossw)
+            else:
+                total, aux = mvs_loss(out, gt, msk, dlossw=dlossw)
             return total, (aux, mut["batch_stats"])
 
         (total, (aux, stats)), grads = jax.value_and_grad(
@@ -410,7 +429,7 @@ def _fuse_normal(metas, data, args):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ("train", "write"):
+    for name in ("train", "finetune", "write"):
         p = sub.add_parser(name)
         p.add_argument("--datapath", required=True)
         p.add_argument("--listfile", required=True)
@@ -418,7 +437,9 @@ def main(argv=None):
         p.add_argument("--depth_inter_r", default="4,2,1")
         p.add_argument("--numdepth", type=int, default=192)
         p.add_argument("--seed", type=int, default=0)
-        if name == "train":
+        p.add_argument("--cr_base_chs", default="")
+        p.add_argument("--base_channels", type=int, default=0)
+        if name in ("train", "finetune"):
             p.add_argument("--logdir", required=True)
             p.add_argument("--profile", action="store_true",
                            help="capture a jax.profiler trace of steps 5-10 "
@@ -464,8 +485,8 @@ def main(argv=None):
     pf.add_argument("--num_consistent", type=int, default=3)
 
     args = ap.parse_args(argv)
-    {"train": cmd_train, "write": cmd_write, "eval": cmd_eval,
-     "fuse": cmd_fuse}[args.cmd](args)
+    {"train": cmd_train, "finetune": cmd_finetune, "write": cmd_write,
+     "eval": cmd_eval, "fuse": cmd_fuse}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -348,3 +348,216 @@ class MultifaceMVSDataset(FacescapeMVSDataset):
                                             self.ndepths).astype(np.float32),
                 "dpath": None, "view_ids": np.asarray([int(v) for v in view_ids]),
                 "scan": meta["scan_path"]}
+
+
+@register("BlendedMVSDataset")
+class BlendedMVSDataset:
+    """BlendedMVS finetuning set.
+
+    Behavioral reference: deps/TransMVSNet/datasets/bld_train.py in
+    malteprinzler/diner. Layout: <scan>/blended_images/XXXXXXXX.jpg,
+    <scan>/cams/{pair.txt, XXXXXXXX_cam.txt}, <scan>/rendered_depth_maps/
+    XXXXXXXX.pfm. The cam file's K is full-resolution -> /4 gives the stage1
+    intrinsics (bld_train.py:61); the depth interval is derived from the cam
+    bounds as (depth_max - depth_min) / ndepths (bld_train.py:67-69); the GT
+    mask keeps depths inside [depth_min, depth_min + interval*(ndepths-1)]
+    (bld_train.py:131-132).
+    """
+
+    def __init__(self, datapath, listfile, mode: str = "train", nviews: int = 4,
+                 ndepths: int = 192, interval_scale: float = 1.0):
+        self.datapath = Path(datapath)
+        self.nviews = nviews
+        self.ndepths = ndepths
+        scans = ([ln.strip() for ln in Path(listfile).read_text().splitlines()
+                  if ln.strip()] if isinstance(listfile, (str, Path))
+                 and Path(listfile).exists() else list(listfile))
+        self.metas = []
+        for scan in scans:
+            pair = (self.datapath / scan / "cams" / "pair.txt"
+                    ).read_text().splitlines()
+            n = int(pair[0])
+            for i in range(n):
+                ref = int(pair[1 + 2 * i])
+                srcs = [int(x) for x in pair[2 + 2 * i].split()[1::2]]
+                if len(srcs) >= nviews - 1:
+                    self.metas.append((scan, ref, srcs))
+
+    def __len__(self):
+        return len(self.metas)
+
+    def _read_cam(self, path):
+        lines = [ln.rstrip() for ln in Path(path).read_text().splitlines()]
+        ext = np.fromstring(" ".join(lines[1:5]), np.float32, sep=" ").reshape(4, 4)
+        K = np.fromstring(" ".join(lines[7:10]), np.float32, sep=" ").reshape(3, 3)
+        K[:2] /= 4.0
+        vals = lines[11].split()
+        dmin, dmax = float(vals[0]), float(vals[-1])
+        dint = (dmax - dmin) / self.ndepths
+        return K, ext, dmin, dint
+
+    def __getitem__(self, idx):
+        from PIL import Image
+
+        scan, ref, srcs = self.metas[idx]
+        view_ids = [ref] + srcs[: self.nviews - 1]
+        imgs, projs = [], []
+        depth_values = depth_ms = mask_ms = None
+        dint = None
+        for i, vid in enumerate(view_ids):
+            img = np.asarray(Image.open(
+                self.datapath / scan / "blended_images" / f"{vid:08d}.jpg"),
+                np.float32)[..., :3] / 255.0
+            imgs.append(img)
+            K, ext, dmin, di = self._read_cam(
+                self.datapath / scan / "cams" / f"{vid:08d}_cam.txt")
+            K4 = np.eye(4, dtype=np.float32)
+            K4[:3, :3] = K
+            projs.append(np.stack([ext, K4]))
+            if i == 0:
+                dint = di
+                depth_values = dmin + np.arange(self.ndepths,
+                                                dtype=np.float32) * di
+                depth = read_pfm(self.datapath / scan / "rendered_depth_maps"
+                                 / f"{vid:08d}.pfm")[0]
+                depth_end = dmin + di * (self.ndepths - 1)
+                mask = ((depth >= dmin) & (depth <= depth_end)
+                        ).astype(np.float32)
+                depth_ms = _pyramid(depth)
+                mask_ms = _pyramid(mask)
+
+        projs = np.stack(projs)
+        proj_ms = {"stage1": projs}
+        for name, s in (("stage2", 2), ("stage3", 4)):
+            p = projs.copy()
+            p[:, 1, :2] *= s
+            proj_ms[name] = p
+        return {"imgs": np.stack(imgs), "proj_matrices": proj_ms,
+                "depth": depth_ms, "mask": mask_ms,
+                "depth_values": depth_values,
+                "depth_interval": np.asarray(dint, np.float32),
+                "scan": scan, "dpath": None}
+
+
+# published capture resolutions of the Tanks&Temples scenes
+# (tnt_eval.py:26-40 — dataset-dictated constants)
+TNT_IMAGE_SIZES = {
+    "Family": (1920, 1080), "Francis": (1920, 1080), "Horse": (1920, 1080),
+    "Lighthouse": (2048, 1080), "M60": (2048, 1080), "Panther": (2048, 1080),
+    "Playground": (1920, 1080), "Train": (1920, 1080),
+    "Auditorium": (1920, 1080), "Ballroom": (1920, 1080),
+    "Courtroom": (1920, 1080), "Museum": (1920, 1080),
+    "Palace": (1920, 1080), "Temple": (1920, 1080),
+}
+
+
+@register("TnTEvalDataset")
+class TnTEvalDataset:
+    """Tanks & Temples eval set (no GT depth).
+
+    Behavioral reference: deps/TransMVSNet/datasets/tnt_eval.py in
+    malteprinzler/diner. Layout: <scan>/images/XXXXXXXX.jpg,
+    <scan>/cams_1/XXXXXXXX_cam.txt, <scan>/pair.txt. Images are scaled to the
+    per-scene max size, snapped DOWN to multiples of 32 with matching
+    intrinsic scaling (tnt_eval.py:99-116); the first processed image fixes
+    the scene resolution (fix_res). depth_interval = (depth_max - depth_min)
+    / ndepths from the cam bounds.
+    """
+
+    def __init__(self, datapath, scans, nviews: int = 5, ndepths: int = 192,
+                 image_sizes=None, fix_res: bool = True):
+        self.datapath = Path(datapath)
+        self.nviews = nviews
+        self.ndepths = ndepths
+        self.image_sizes = dict(TNT_IMAGE_SIZES, **(image_sizes or {}))
+        self.fix_res = fix_res
+        self._fixed_hw = None
+        self.metas = []
+        for scan in scans:
+            pair = (self.datapath / scan / "pair.txt").read_text().splitlines()
+            n = int(pair[0])
+            for i in range(n):
+                ref = int(pair[1 + 2 * i])
+                srcs = [int(x) for x in pair[2 + 2 * i].split()[1::2]]
+                if srcs:
+                    self.metas.append((scan, ref, srcs))
+
+    def __len__(self):
+        return len(self.metas)
+
+    def _read_cam(self, path):
+        lines = [ln.rstrip() for ln in Path(path).read_text().splitlines()]
+        ext = np.fromstring(" ".join(lines[1:5]), np.float32, sep=" ").reshape(4, 4)
+        K = np.fromstring(" ".join(lines[7:10]), np.float32, sep=" ").reshape(3, 3)
+        vals = lines[11].split()
+        dmin, dmax = float(vals[0]), float(vals[-1])
+        return K, ext, dmin, (dmax - dmin) / self.ndepths
+
+    @staticmethod
+    def _scale_input(img, K, max_w, max_h, base: int = 32):
+        from PIL import Image
+
+        h, w = img.shape[:2]
+        if h > max_h or w > max_w:
+            scale = max_h / h
+            if scale * w > max_w:
+                scale = max_w / w
+            new_w, new_h = scale * w // base * base, scale * h // base * base
+        else:
+            new_w, new_h = w // base * base, h // base * base
+        K = K.copy()
+        K[0] *= new_w / w
+        K[1] *= new_h / h
+        pil = Image.fromarray((img * 255).astype(np.uint8))
+        img = np.asarray(pil.resize((int(new_w), int(new_h)),
+                                    Image.BILINEAR), np.float32) / 255.0
+        return img, K
+
+    def __getitem__(self, idx):
+        from PIL import Image
+
+        scan, ref, srcs = self.metas[idx]
+        nviews = min(self.nviews, len(srcs) + 1)
+        view_ids = [ref] + srcs[: nviews - 1]
+        max_w, max_h = self.image_sizes.get(scan, (1920, 1080))
+
+        imgs, projs = [], []
+        depth_values = None
+        for i, vid in enumerate(view_ids):
+            img = np.asarray(Image.open(
+                self.datapath / scan / "images" / f"{vid:08d}.jpg"),
+                np.float32)[..., :3] / 255.0
+            K, ext, dmin, dint = self._read_cam(
+                self.datapath / scan / "cams_1" / f"{vid:08d}_cam.txt")
+            img, K = self._scale_input(img, K, max_w, max_h)
+            if self.fix_res and self._fixed_hw is None:
+                self._fixed_hw = img.shape[:2]
+            if self._fixed_hw is not None and img.shape[:2] != self._fixed_hw:
+                sh = self._fixed_hw[0] / img.shape[0]
+                sw = self._fixed_hw[1] / img.shape[1]
+                pil = Image.fromarray((img * 255).astype(np.uint8))
+                img = np.asarray(pil.resize((self._fixed_hw[1],
+                                             self._fixed_hw[0]),
+                                            Image.BILINEAR), np.float32) / 255.0
+                K = K.copy()
+                K[0] *= sw
+                K[1] *= sh
+            imgs.append(img)
+            K4 = np.eye(4, dtype=np.float32)
+            K4[:3, :3] = K
+            projs.append(np.stack([ext, K4]))
+            if i == 0:
+                depth_values = dmin + np.arange(self.ndepths,
+                                                dtype=np.float32) * dint
+
+        projs = np.stack(projs)
+        # cams_1 K is the stage1 (quarter-res) intrinsics, like DTU/BLD
+        # (tnt_eval.py:186-190: stage2 = x2, stage3 = x4)
+        proj_ms = {"stage1": projs}
+        for name, s in (("stage2", 2.0), ("stage3", 4.0)):
+            p = projs.copy()
+            p[:, 1, :2] *= s
+            proj_ms[name] = p
+        return {"imgs": np.stack(imgs), "proj_matrices": proj_ms,
+                "depth_values": depth_values,
+                "view_ids": np.asarray(view_ids), "scan": scan}

@@ -110,3 +110,112 @@ def test_mvs_fuse_plane_to_ply(fused_inputs, method):
     # consistent plane at z=2: world points must sit on it
     assert np.abs(pts[:, 2] - DEPTH).max() < 1e-3
     assert cols is not None and len(cols) == len(pts)
+
+
+def _bld_fixture(tmp_path, n_views=4, H=32, W=32, ndepths=16):
+    """Synthetic bld_train layout: blended_images/cams(+pair)/rendered_depth_maps."""
+    from PIL import Image
+    from diner_tpu.data.codecs import write_pfm
+
+    scan = tmp_path / "bld" / "sceneA"
+    (scan / "blended_images").mkdir(parents=True)
+    (scan / "cams").mkdir()
+    (scan / "rendered_depth_maps").mkdir()
+    rng = np.random.RandomState(1)
+    exts, K = _cams()
+    for v in range(n_views):
+        Image.fromarray((rng.rand(H, W, 3) * 255).astype(np.uint8)).save(
+            scan / "blended_images" / f"{v:08d}.jpg")
+        # bld cam files carry FULL-res intrinsics and a depth_max in the
+        # bounds row (bld_train.py:61-69)
+        K_full = K[v].copy()
+        K_full[:2] *= 4.0
+        lines = ["extrinsic"]
+        lines += [" ".join(f"{x:.6f}" for x in row) for row in exts[v]]
+        lines += ["", "intrinsic"]
+        lines += [" ".join(f"{x:.6f}" for x in row) for row in K_full]
+        lines += ["", "1.0 0.1 16 3.0"]  # dmin interval ndepth dmax
+        (scan / "cams" / f"{v:08d}_cam.txt").write_text("\n".join(lines) + "\n")
+        write_pfm(scan / "rendered_depth_maps" / f"{v:08d}.pfm",
+                  np.full((H, W), DEPTH, np.float32))
+    pair = [str(n_views)]
+    for v in range(n_views):
+        srcs = [s for s in range(n_views) if s != v]
+        pair += [str(v), f"{len(srcs)} " + " ".join(f"{s} 10.0" for s in srcs)]
+    (scan / "cams" / "pair.txt").write_text("\n".join(pair) + "\n")
+    listfile = tmp_path / "bld_list.txt"
+    listfile.write_text("sceneA\n")
+    return tmp_path / "bld", listfile
+
+
+def test_blendedmvs_dataset_contract(tmp_path):
+    from diner_tpu.mvs.datasets import BlendedMVSDataset
+
+    root, listfile = _bld_fixture(tmp_path)
+    ds = BlendedMVSDataset(root, listfile, ndepths=16)
+    assert len(ds) == 4
+    s = ds[0]
+    assert s["imgs"].shape == (4, 32, 32, 3)
+    # full-res K divided by 4 -> stage1
+    np.testing.assert_allclose(s["proj_matrices"]["stage1"][0, 1, 0, 0], 40.0,
+                               rtol=1e-5)
+    np.testing.assert_allclose(s["proj_matrices"]["stage3"][0, 1, 0, 0], 160.0,
+                               rtol=1e-5)
+    # depth_interval from bounds: (3.0 - 1.0) / 16
+    np.testing.assert_allclose(float(s["depth_interval"]), 0.125)
+    assert s["depth_values"].shape == (16,)
+    np.testing.assert_allclose(s["depth_values"][0], 1.0)
+    # plane at z=2 inside [1.0, 1.0 + 0.125*15]: mask fully on
+    assert s["mask"]["stage3"].mean() == 1.0
+    assert s["depth"]["stage1"].shape == (8, 8)
+
+
+def test_tnt_eval_dataset_contract(tmp_path):
+    from PIL import Image
+    from diner_tpu.mvs.datasets import TnTEvalDataset
+
+    scan = tmp_path / "tnt" / "Family"
+    (scan / "images").mkdir(parents=True)
+    (scan / "cams_1").mkdir()
+    rng = np.random.RandomState(2)
+    exts, K = _cams()
+    H2, W2 = 64, 96  # already multiples of 32
+    for v in range(3):
+        Image.fromarray((rng.rand(H2, W2, 3) * 255).astype(np.uint8)).save(
+            scan / "images" / f"{v:08d}.jpg")
+        lines = ["extrinsic"]
+        lines += [" ".join(f"{x:.6f}" for x in row) for row in exts[v]]
+        lines += ["", "intrinsic"]
+        lines += [" ".join(f"{x:.6f}" for x in row) for row in K[v]]
+        lines += ["", "1.0 0.01 192 2.5"]
+        (scan / "cams_1" / f"{v:08d}_cam.txt").write_text("\n".join(lines) + "\n")
+    pair = ["3"]
+    for v in range(3):
+        srcs = [s for s in range(3) if s != v]
+        pair += [str(v), f"{len(srcs)} " + " ".join(f"{s} 10.0" for s in srcs)]
+    (scan / "pair.txt").write_text("\n".join(pair) + "\n")
+
+    ds = TnTEvalDataset(tmp_path / "tnt", ["Family"], nviews=3, ndepths=8,
+                        image_sizes={"Family": (W2, H2)})
+    assert len(ds) == 3
+    s = ds[0]
+    assert s["imgs"].shape == (3, H2, W2, 3)
+    np.testing.assert_allclose(s["depth_values"][-1],
+                               1.0 + (2.5 - 1.0) / 8 * 7, rtol=1e-6)
+    k3 = s["proj_matrices"]["stage3"][0, 1]
+    k1 = s["proj_matrices"]["stage1"][0, 1]
+    for r, c in ((0, 0), (1, 1), (0, 2), (1, 2)):
+        np.testing.assert_allclose(k3[r, c] / k1[r, c], 4.0, rtol=1e-6)
+
+
+def test_mvs_finetune_cli_runs(tmp_path):
+    from diner_tpu.cli.mvs import main
+
+    root, listfile = _bld_fixture(tmp_path)
+    logdir = tmp_path / "ft"
+    main(["finetune", "--datapath", str(root), "--listfile", str(listfile),
+          "--logdir", str(logdir), "--ndepths", "8,8,8",
+          "--depth_inter_r", "4,2,1", "--numdepth", "16",
+          "--cr_base_chs", "4,4,4", "--base_channels", "4",
+          "--max-steps", "2", "--batch-size", "1", "--log-every", "1"])
+    assert any((logdir / "ckpts").iterdir())
