@@ -148,7 +148,9 @@ def _train_impl(args, use_focal: bool):
                 jax.profiler.stop_trace()
                 profiling = False
                 print(f"trace written to {logdir / 'trace'}", flush=True)
-        idcs = order[(it * args.batch_size) % len(ds):][:args.batch_size]
+        start = (it * args.batch_size) % len(ds)
+        idcs = np.take(order, np.arange(start, start + args.batch_size),
+                       mode="wrap")  # full-size batches: no reshape recompile
         batch = _collate([ds[int(i)] for i in idcs])
         arrays = {k: v for k, v in batch.items()
                   if isinstance(v, (np.ndarray, dict))}

@@ -30,7 +30,9 @@ def _unnormalize(coord, size, align_corners: bool = False):
 def _gather_hw(img_flat, iy, ix, W):
     """img_flat: (B, H*W, C); iy/ix: (B, N) int32 (already in-range). -> (B, N, C)."""
     idx = iy * W + ix
-    return jnp.take_along_axis(img_flat, idx[..., None], axis=1)
+    # indices are clip-constructed; mode="clip" skips XLA's OOB select pass
+    # (which otherwise materializes a second full-size row buffer)
+    return jnp.take_along_axis(img_flat, idx[..., None], axis=1, mode="clip")
 
 
 def grid_sample(img, uv, mode: str = "bilinear", padding_mode: str = "border",
@@ -178,7 +180,8 @@ def grid_sample_quad(img_quad, uv):
     wy = (iy - y0)[..., None]
     idx = (jnp.clip(y0.astype(jnp.int32), 0, H - 1) * W
            + jnp.clip(x0.astype(jnp.int32), 0, W - 1))
-    rows = jnp.take_along_axis(imgs, idx[..., None], axis=1)  # (B, N, 4C)
+    rows = jnp.take_along_axis(imgs, idx[..., None], axis=1,
+                               mode="clip")  # (B, N, 4C)
     p00 = rows[..., 0 * C:1 * C]
     p01 = rows[..., 1 * C:2 * C]  # right
     p10 = rows[..., 2 * C:3 * C]  # down

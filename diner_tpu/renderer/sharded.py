@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from diner_tpu.core.types import RenderConfig, SceneEncoding
@@ -62,7 +62,7 @@ def render_image_sharded(field_fn, rng, rays, enc: SceneEncoding,
 
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(axis), P(), P()),
-                   out_specs=P(axis), check_rep=False)
+                   out_specs=P(axis), check_vma=False)
     rgb, depth = jax.jit(fn)(flat, enc, rng)
     rgb = rgb.reshape(n_dev, SB, per_dev, 3).swapaxes(0, 1).reshape(SB, -1, 3)
     depth = depth.reshape(n_dev, SB, per_dev).swapaxes(0, 1).reshape(SB, -1)

@@ -106,7 +106,8 @@ def _remap_monotone(vals, a, method: str = "take"):
                       vals.astype(jnp.bfloat16)).astype(vals.dtype)
 
 
-def _anchor_priors(enc: SceneEncoding, uv, n_anchors: int):
+def _anchor_priors(enc: SceneEncoding, uv, n_anchors: int,
+                   remap: str | None = None):
     """Epipolar-anchor prior fetch (RenderConfig.n_prior_anchors).
 
     uv: (SB, NV, NR, NC, 2) candidate projections. All candidates of one
@@ -133,6 +134,20 @@ def _anchor_priors(enc: SceneEncoding, uv, n_anchors: int):
     ad, astd, anrm = gather_priors(enc, uv_anchor.reshape(SB, NV, NR * A, 2))
     vals = jnp.concatenate(
         [ad[..., None], astd[..., None], anrm], axis=-1)  # (SB, NV, NR*A, 5)
+
+    if remap is None:
+        # the MXU one-hot kernel is the fast path on TPU; XLA take_along_axis
+        # is the portable fallback (CPU tests, other backends)
+        remap = "pallas" if jax.default_backend() == "tpu" else "take"
+    if remap == "pallas":
+        from diner_tpu.sampler.pallas_remap import remap_anchors_pallas
+
+        G = SB * NV * NR
+        vals_gck = vals.reshape(G, A, 5).swapaxes(1, 2)  # (G, 5, A)
+        out = remap_anchors_pallas(a.reshape(G, NC), vals_gck)  # (G, 5, NC)
+        out = out.reshape(SB, NV, NR, 5, NC)
+        return out[..., 0, :], out[..., 1, :], jnp.moveaxis(
+            out[..., 2:5, :], -2, -1)
     out = _remap_monotone(vals.reshape(SB, NV, NR, A, 5), a)
     return out[..., 0], out[..., 1], out[..., 2:5]
 

@@ -127,6 +127,7 @@ def train(model, train_batches: Iterable, logdir, *,
     t0 = time.perf_counter()
 
     step = start_step
+    last_logged = start_step - 1
     for step in range(start_step, max_steps):
         try:
             batch = next(it)
@@ -139,8 +140,9 @@ def train(model, train_batches: Iterable, logdir, *,
 
         if is_host0 and (step % log_every == 0 or step == max_steps - 1):
             scalars = {k: float(v) for k, v in losses.items()}
-            scalars["steps_per_sec"] = (log_every or 1) / max(
+            scalars["steps_per_sec"] = (step - last_logged) / max(
                 time.perf_counter() - t0, 1e-9)
+            last_logged = step
             t0 = time.perf_counter()
             logger.log(step, scalars)
         if is_host0 and ckpt_every and step > 0 and step % ckpt_every == 0:

@@ -304,7 +304,274 @@ def run_render2():
                               "error": repr(e)[:300]}), flush=True)
 
 
+
+
+def run_bits():
+    """Bisect the likelihood and field stages; calibrate tunnel overhead."""
+    from diner_tpu.data import SyntheticSphereDataset
+    from diner_tpu.geometry import gen_rays, transform_points, project_points
+    from diner_tpu.sampler.depth_guided import gather_priors, sample_stratified
+    from diner_tpu.nn import posenc
+    import math
+
+    model, cfg, batch, variables, (H, W) = _bench_setup()
+    CHUNK = 8192
+    NC = cfg.n_depth_candidates
+
+    @jax.jit
+    def encode(variables, batch):
+        return model.apply(variables, batch["src_rgbs"], batch["src_depths"],
+                           batch["src_depth_stds"], batch["src_extrinsics"],
+                           batch["src_intrinsics"], method="encode")
+
+    enc = encode(variables, batch)
+    rays = gen_rays(batch["target_extrinsics"], batch["target_intrinsics"],
+                    W, H, SyntheticSphereDataset.znear,
+                    SyntheticSphereDataset.zfar).reshape(1, H * W, 8)[:, :CHUNK]
+    rng = jax.random.PRNGKey(1)
+
+    # tunnel overhead: trivial program
+    @jax.jit
+    def tiny(x):
+        return x + 1.0
+    res = benchmark(tiny, jnp.zeros((8, 128)))
+    report("bits/tunnel_overhead", res)
+
+    def proj(rays, enc, rng):
+        z = sample_stratified(rng, rays, NC)
+        SB, NR, _ = rays.shape
+        B = NR * NC
+        xyz = rays[..., None, :3] + z[..., None] * rays[..., None, 3:6]
+        xyz = xyz.reshape(SB, B, 3)
+        NV = enc.poses.shape[1]
+        xyz_nv = jnp.broadcast_to(xyz[:, None], (SB, NV, B, 3))
+        xyz_cam = transform_points(enc.poses, xyz_nv)
+        uv = project_points(xyz_cam, enc.focal, enc.c, enc.image_shape)
+        return uv, xyz_cam
+
+    @jax.jit
+    def proj_only(rays, enc, rng):
+        uv, xyz_cam = proj(rays, enc, rng)
+        return uv.sum(), xyz_cam.sum()
+
+    @jax.jit
+    def proj_gather(rays, enc, rng):
+        uv, xyz_cam = proj(rays, enc, rng)
+        d, s, n = gather_priors(enc, uv)
+        return d.sum(), s.sum(), n.sum()
+
+    @jax.jit
+    def proj_gather_erf(rays, enc, rng):
+        from jax.scipy.special import erf
+        uv, xyz_cam = proj(rays, enc, rng)
+        d, s, n = gather_priors(enc, uv)
+        z_cam = xyz_cam[..., 2]
+        safe = jnp.where(s == 0, 1.0, s) * math.sqrt(2.0)
+        step = 0.002
+        hi = erf((z_cam + step / 2 - d) / safe)
+        lo = erf((z_cam - step / 2 - d) / safe)
+        return (0.5 * jnp.abs(hi - lo)).sum()
+
+    res = benchmark(proj_only, rays, enc, rng)
+    report("bits/proj_only", res)
+    res = benchmark(proj_gather, rays, enc, rng)
+    report("bits/proj_gather", res)
+    res = benchmark(proj_gather_erf, rays, enc, rng)
+    report("bits/proj_gather_erf", res)
+
+    # field bisection: gathers / posenc / mlp on fixed inputs
+    SBn, NV = 1, 4
+    Bpts = CHUNK * cfg.n_samples  # 327k points
+    rg = np.random.default_rng(0)
+    xyz = jnp.asarray(rg.uniform(-0.5, 0.5, (SBn, Bpts, 3)), jnp.float32)
+    dirs = jnp.asarray(rg.standard_normal((SBn, Bpts, 3)), jnp.float32)
+
+    from diner_tpu.models.pixelnerf import index_latent, index_depth
+
+    @jax.jit
+    def field_gathers(enc, xyz, dirs):
+        xyz_nv = jnp.broadcast_to(xyz[:, None], (SBn, NV, Bpts, 3))
+        xyz_cam = transform_points(enc.poses, xyz_nv)
+        uv = project_points(xyz_cam, enc.focal, enc.c, enc.image_shape)
+        lat = index_latent(enc, uv)
+        rd = index_depth(enc, uv)
+        return lat.sum(), rd.sum()
+
+    @jax.jit
+    def field_posenc(enc, xyz, dirs):
+        xyz_nv = jnp.broadcast_to(xyz[:, None], (SBn, NV, Bpts, 3))
+        xyz_cam = transform_points(enc.poses, xyz_nv)
+        zf = posenc(xyz_cam, 6, 6.28)
+        df = posenc(xyz_cam[..., 2:], 6, 6.28)
+        return zf.sum(), df.sum()
+
+    res = benchmark(field_gathers, enc, xyz, dirs)
+    report("bits/field_gathers", res)
+    res = benchmark(field_posenc, enc, xyz, dirs)
+    report("bits/field_posenc", res)
+
+    # MLP only, inputs pregathered: (SB, NV, B, d_latent + d_in)
+    from diner_tpu.nn import ResnetFC, posenc_dim
+    d_in = posenc_dim(3, 6) + posenc_dim(1, 6) + 3
+    mlp = ResnetFC(d_in=d_in, d_out=4, n_blocks=5, d_latent=512, d_hidden=512,
+                   combine_layer=3, dtype=jnp.bfloat16)
+    mlp_in = jnp.asarray(rg.standard_normal((SBn, NV, Bpts, 512 + d_in)),
+                         jnp.bfloat16)
+    mvars = mlp.init(jax.random.PRNGKey(0), mlp_in, 1)
+
+    @jax.jit
+    def mlp_only(mvars, mlp_in):
+        return mlp.apply(mvars, mlp_in, 1).sum()
+
+    res = benchmark(mlp_only, mvars, mlp_in)
+    flops = Bpts * (3 * NV + 2) * 2 * 512 * 512 * 2 + Bpts * NV * 2 * (512 + d_in + 512 * 3) * 512
+    report("bits/mlp_only", res, approx_tflops=round(flops / 1e12, 2),
+           tflops_per_s=round(flops / 1e12 / res["min_s"], 1))
+
+    # MLP with fully-bf16 params (cast once)
+    mvars16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), mvars)
+    res = benchmark(mlp_only, mvars16, mlp_in)
+    report("bits/mlp_only_bf16params", res,
+           tflops_per_s=round(flops / 1e12 / res["min_s"], 1))
+
+
+def run_pallas():
+    """Anchor sampler with the MXU remap kernel + field gathers without quad."""
+    from diner_tpu.data import SyntheticSphereDataset
+    from diner_tpu.geometry import gen_rays, transform_points, project_points
+    from diner_tpu.sampler.depth_guided import (
+        surface_likelihoods, sample_stratified)
+    from diner_tpu.models.pixelnerf import index_latent, index_depth
+
+    model, cfg, batch, variables, (H, W) = _bench_setup()
+    CHUNK = 8192
+
+    @jax.jit
+    def encode(variables, batch):
+        return model.apply(variables, batch["src_rgbs"], batch["src_depths"],
+                           batch["src_depth_stds"], batch["src_extrinsics"],
+                           batch["src_intrinsics"], method="encode")
+
+    enc = encode(variables, batch)
+    rays = gen_rays(batch["target_extrinsics"], batch["target_intrinsics"],
+                    W, H, SyntheticSphereDataset.znear,
+                    SyntheticSphereDataset.zfar).reshape(1, H * W, 8)[:, :CHUNK]
+    rng = jax.random.PRNGKey(1)
+
+    for name, kw in [("anchor64_pallas", {"n_prior_anchors": 64}),
+                     ("anchor128_pallas", {"n_prior_anchors": 128}),
+                     ("exact_again", {})]:
+        @jax.jit
+        def lik(rays, enc, rng, kw=kw):
+            z = sample_stratified(rng, rays, cfg.n_depth_candidates)
+            return surface_likelihoods(rays, z, enc, cfg.depth_diff_max, **kw)
+        try:
+            res = benchmark(lik, rays, enc, rng)
+            report(f"plk/{name}", res)
+        except Exception as e:
+            print(json.dumps({"exp": f"plk/{name}", "error": repr(e)[:300]}),
+                  flush=True)
+
+    # field gathers without quad packing
+    enc_noquad = enc.replace(latent_quad=None)
+    SBn, NV = 1, 4
+    Bpts = CHUNK * cfg.n_samples
+    rg = np.random.default_rng(0)
+    xyz = jnp.asarray(rg.uniform(-0.5, 0.5, (SBn, Bpts, 3)), jnp.float32)
+
+    @jax.jit
+    def field_gathers_noquad(enc, xyz):
+        xyz_nv = jnp.broadcast_to(xyz[:, None], (SBn, NV, Bpts, 3))
+        xyz_cam = transform_points(enc.poses, xyz_nv)
+        uv = project_points(xyz_cam, enc.focal, enc.c, enc.image_shape)
+        lat = index_latent(enc, uv)
+        rd = index_depth(enc, uv)
+        return lat.sum(), rd.sum()
+
+    res = benchmark(field_gathers_noquad, enc_noquad, xyz)
+    report("plk/field_gathers_noquad", res)
+
+
+def run_final():
+    """Clip-mode field gathers, full render with anchor64+pallas, and the
+    anchor-vs-exact PSNR delta on the bench scene."""
+    from diner_tpu.core.types import RenderConfig
+    from diner_tpu.data import SyntheticSphereDataset, collate, to_device_batch
+    from diner_tpu.geometry import gen_rays, transform_points, project_points
+    from diner_tpu.models import PixelNeRF
+    from diner_tpu.models.pixelnerf import index_latent, index_depth
+    from diner_tpu.renderer import render_image
+
+    H, W = 256, 320
+    ds = SyntheticSphereDataset(n_scenes=1, n_views=4, H=H, W=W)
+    batch = to_device_batch(collate([ds[0]]))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(0)
+    xyz0 = jnp.zeros((1, 1, 3))
+
+    model = PixelNeRF(encoder_layers=4, encoder_norm="group",
+                      image_padding=16, padding_pe=4,
+                      n_blocks=5, d_hidden=512, combine_layer=3,
+                      compute_dtype="bfloat16", quad_latent=True)
+    variables = model.init(rng, batch["src_rgbs"], batch["src_depths"],
+                           batch["src_depth_stds"], batch["src_extrinsics"],
+                           batch["src_intrinsics"], xyz0, xyz0)
+
+    @jax.jit
+    def encode(variables, batch):
+        return model.apply(variables, batch["src_rgbs"], batch["src_depths"],
+                           batch["src_depth_stds"], batch["src_extrinsics"],
+                           batch["src_intrinsics"], method="encode")
+
+    enc = encode(variables, batch)
+    SBn, NV, Bpts = 1, 4, 8192 * 40
+    rg = np.random.default_rng(0)
+    xyz = jnp.asarray(rg.uniform(-0.5, 0.5, (SBn, Bpts, 3)), jnp.float32)
+
+    @jax.jit
+    def field_gathers(enc, xyz):
+        xyz_nv = jnp.broadcast_to(xyz[:, None], (SBn, NV, Bpts, 3))
+        xyz_cam = transform_points(enc.poses, xyz_nv)
+        uv = project_points(xyz_cam, enc.focal, enc.c, enc.image_shape)
+        return index_latent(enc, uv).sum(), index_depth(enc, uv).sum()
+
+    res = benchmark(field_gathers, enc, xyz)
+    report("final/field_gathers_clip", res)
+
+    outs = {}
+    for tag, anchors in [("anchor64", 64), ("exact", 0)]:
+        cfg = RenderConfig(n_samples=40, n_depth_candidates=1000,
+                           n_gaussian=15, n_prior_anchors=anchors)
+
+        @jax.jit
+        def render(variables, batch, rng, cfg=cfg):
+            enc = model.apply(variables, batch["src_rgbs"],
+                              batch["src_depths"], batch["src_depth_stds"],
+                              batch["src_extrinsics"], batch["src_intrinsics"],
+                              method="encode")
+            rays = gen_rays(batch["target_extrinsics"],
+                            batch["target_intrinsics"], W, H,
+                            SyntheticSphereDataset.znear,
+                            SyntheticSphereDataset.zfar)
+            return render_image(
+                lambda p, d: model.apply(variables, enc, p, d, method="field"),
+                rng, rays, enc, cfg, chunk=8192)
+
+        res = benchmark(render, variables, batch, jax.random.PRNGKey(0),
+                        warmup=2, iters=3)
+        report(f"final/render_{tag}", res,
+               rays_per_sec=round(H * W / res["median_s"], 1))
+        outs[tag] = np.asarray(render(variables, batch,
+                                      jax.random.PRNGKey(0))[0])
+
+    mse = float(np.mean((outs["anchor64"] - outs["exact"]) ** 2))
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    print(json.dumps({"exp": "final/anchor_vs_exact_psnr_dB",
+                      "value": round(psnr, 2)}), flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "remap"
     {"remap": run_remap, "components": run_components, "chunks": run_chunks,
-     "anchors": run_anchors, "render2": run_render2}[which]()
+     "anchors": run_anchors, "render2": run_render2, "bits": run_bits,
+     "pallas": run_pallas, "final": run_final}[which]()

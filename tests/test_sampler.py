@@ -279,3 +279,18 @@ def test_prior_stride_exact_on_smooth_maps():
                        prior_stride=4)
     zs = np.asarray(sample_depthguided(jax.random.PRNGKey(0), rays, enc, cfg))[0, 0]
     assert (np.abs(zs - d0) < 0.2).sum() >= 10
+
+
+def test_pallas_remap_matches_take():
+    """MXU one-hot remap kernel (interpret mode) vs take_along_axis."""
+    from diner_tpu.sampler.pallas_remap import remap_anchors_pallas
+
+    rng = np.random.RandomState(7)
+    G, C, K, NC = 19, 5, 16, 40  # G deliberately not a multiple of tg
+    vals = jnp.asarray(rng.rand(G, C, K).astype(np.float32))
+    a = jnp.asarray(np.sort(rng.randint(0, K, (G, NC)), axis=-1))
+    out = np.asarray(remap_anchors_pallas(a, vals, tg=8, interpret=True))
+    ref = np.take_along_axis(np.asarray(vals),
+                             np.asarray(a)[:, None, :].repeat(C, 1), axis=-1)
+    # exact selection; values pass through bf16 once
+    np.testing.assert_allclose(out, ref, rtol=8e-3, atol=1e-3)
