@@ -27,6 +27,9 @@ def main(argv=None):
                     help="override renderer n_samples (scales n_gaussian)")
     ap.add_argument("--shard-rays", action="store_true",
                     help="shard the ray axis over all devices (multi-chip)")
+    ap.add_argument("--lpips", default=None,
+                    help=".npz from scripts/port_lpips.py; adds the lpips "
+                         "metric to the score report")
     args = ap.parse_args(argv)
 
     from diner_tpu.cli.build import build_dataset, build_diner
@@ -128,9 +131,15 @@ def main(argv=None):
                                method="render_batch")
 
     out = Path(args.out)
+    lpips_fn = None
+    if args.lpips:
+        from diner_tpu.nn.lpips import load_lpips_npz, make_lpips_fn
+
+        lpips_fn = make_lpips_fn(load_lpips_npz(args.lpips))
+
     visdir = create_prediction_folder(render_fn, val_set, out / "visualizations",
                                       n_samples=args.n)
-    scores = evaluate_folder(visdir, out)
+    scores = evaluate_folder(visdir, out, lpips_fn=lpips_fn)
     print({k: round(v, 4) for k, v in scores.items()})
 
 

@@ -83,3 +83,44 @@ def port_lpips_vgg(lpips_sd, vgg_sd):
                 params[f"lin{i}"] = np.asarray(lpips_sd[key]).reshape(-1)
                 break
     return {"params": params}
+
+
+def save_lpips_npz(variables, path):
+    """Flatten ported LpipsVgg variables into a single .npz."""
+    import jax
+
+    flat = {"/".join(map(str, k)): np.asarray(v) for k, v in
+            jax.tree_util.tree_flatten_with_path(
+                variables, is_leaf=lambda x: isinstance(x, np.ndarray))[0]}
+    flat = {k.replace("[", "").replace("]", "").replace("'", ""): v
+            for k, v in flat.items()}
+    np.savez(path, **flat)
+
+
+def load_lpips_npz(path):
+    """Load an .npz written by save_lpips_npz back into a variables tree."""
+    data = np.load(path)
+    tree = {}
+    for key in data.files:
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(data[key])
+    return tree
+
+
+def make_lpips_fn(variables):
+    """(pred (H,W,3) in [0,1], gt) -> float LPIPS, matching the reference's
+    usage (eval_suite.py:75-77: images scaled to [-1, 1])."""
+    import jax
+
+    model = LpipsVgg()
+    variables = {"params": variables["params"]}  # drop metadata collections
+
+    @jax.jit
+    def dist(x, y):
+        return model.apply(variables, x[None] * 2.0 - 1.0,
+                           y[None] * 2.0 - 1.0)[0]
+
+    return lambda pred, gt: float(dist(jnp.asarray(pred), jnp.asarray(gt)))

@@ -93,3 +93,45 @@ def test_lpips_tower_runs_random_weights():
     d_diff = m.apply(variables, x, y)
     np.testing.assert_allclose(np.asarray(d_same), 0.0, atol=1e-6)
     assert float(d_diff[0]) > 0
+
+
+def test_lpips_port_script_and_cli_flow(tmp_path):
+    """Fake (random) lpips + vgg16 checkpoints -> port script -> .npz ->
+    evaluate_folder reports an lpips score. The moment real weights exist the
+    same path produces the reference metric."""
+    import torch
+
+    from scripts.port_lpips import main as port_main, _VGG16_CONV_SHAPES, _LIN_CH
+    from diner_tpu.nn.lpips import load_lpips_npz, make_lpips_fn
+    from diner_tpu.eval.suite import evaluate_folder
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    vgg_sd = {}
+    for idx, (o, i) in _VGG16_CONV_SHAPES.items():
+        vgg_sd[f"features.{idx}.weight"] = torch.as_tensor(
+            rng.randn(o, i, 3, 3).astype(np.float32) * 0.05)
+        vgg_sd[f"features.{idx}.bias"] = torch.zeros(o)
+    lpips_sd = {f"lin{li}.model.1.weight": torch.as_tensor(
+        np.abs(rng.randn(1, ch, 1, 1).astype(np.float32)))
+        for li, ch in enumerate(_LIN_CH)}
+    lp, vp = tmp_path / "vgg.pth", tmp_path / "vgg16.pth"
+    torch.save(lpips_sd, lp)
+    torch.save(vgg_sd, vp)
+
+    out_npz = tmp_path / "lpips_vgg.npz"
+    port_main(["--lpips-ckpt", str(lp), "--vgg16", str(vp),
+               "--out", str(out_npz)])
+    assert out_npz.exists()
+
+    lpips_fn = make_lpips_fn(load_lpips_npz(out_npz))
+    # folder with one pred/gt pair
+    vis = tmp_path / "vis"
+    vis.mkdir()
+    img = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+    img2 = np.clip(img + rng.randint(-20, 20, img.shape), 0, 255).astype(np.uint8)
+    Image.fromarray(img2).save(vis / "000000-pred.png")
+    Image.fromarray(img).save(vis / "000000-gt.png")
+    scores = evaluate_folder(vis, tmp_path / "scored", lpips_fn=lpips_fn)
+    assert "lpips" in scores and np.isfinite(scores["lpips"])
+    assert scores["lpips"] > 0
