@@ -70,21 +70,35 @@ def test_cam_sweep_on_synthetic(tmp_path):
 
 
 def test_compare_evaluations(tmp_path):
+    from PIL import Image
     from diner_tpu.eval.compare import compare_evaluations
-    from diner_tpu.eval.suite import REPORT_DETAIL_FILENAME
+    from diner_tpu.eval.suite import (REPORT_DETAIL_FILENAME,
+                                      EXAMPLE_PLOT_FILENAME, N_EXAMPLE_PLOTS)
 
     rng = np.random.RandomState(0)
     dirs = []
     for m in range(2):
         d = tmp_path / f"model{m}"
-        d.mkdir()
-        rows = [{"path": str(d / f"s{i}-pred.png"),
-                 "psnr": 20 + m + rng.rand(), "ssim": 0.8, "l1": 0.05 - 0.01 * m,
-                 "l2": 0.01} for i in range(6)]
+        (d / "vis").mkdir(parents=True)
+        rows = []
+        for i in range(6):
+            pred = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+            gt = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+            Image.fromarray(pred).save(d / "vis" / f"s{i}-pred.png")
+            Image.fromarray(gt).save(d / "vis" / f"s{i}-gt.png")
+            rows.append({"path": str(d / "vis" / f"s{i}-pred.png"),
+                         "psnr": 20 + m + rng.rand(), "ssim": 0.8,
+                         "l1": 0.05 - 0.01 * m + 0.001 * i, "l2": 0.01})
         (d / REPORT_DETAIL_FILENAME).write_text(json.dumps(rows))
+        strip = (rng.rand(N_EXAMPLE_PLOTS * 20, 60, 3) * 255).astype(np.uint8)
+        Image.fromarray(strip).save(d / EXAMPLE_PLOT_FILENAME)
         dirs.append(d)
     out = compare_evaluations(dirs, ["a", "b"], tmp_path / "cmp")
     assert (out / "metric_violins.png").exists()
+    for i in range(N_EXAMPLE_PLOTS):
+        assert (out / f"examples_{i}.png").exists()
+    assert (out / "diff_psnr_0.png").exists()
+    assert (out / "diff_l1_0.png").exists()
 
 
 def test_train_resume(tmp_path):
