@@ -29,7 +29,21 @@ def main(argv=None):
     ap.add_argument("--logdir", default=None)
     ap.add_argument("--max-steps", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--multihost", action="store_true",
+                    help="initialize jax.distributed before touching devices "
+                         "(reads JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES "
+                         "/ JAX_PROCESS_ID or the flags below)")
+    ap.add_argument("--coordinator", default=None)
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args(argv)
+
+    if args.multihost:
+        from diner_tpu.parallel import init_multihost
+
+        init_multihost(args.coordinator, args.num_processes, args.process_id)
+        print(f"multihost: process {jax.process_index()}/{jax.process_count()}"
+              f" with {jax.local_device_count()} local devices")
 
     from diner_tpu.cli.build import build_dataset, build_loader, build_diner
     from diner_tpu.core.config import load_config
@@ -40,8 +54,9 @@ def main(argv=None):
     conf = load_config(args.config)
     logdir = Path(args.logdir or conf.get("logger", {}).get("kwargs", {})
                   .get("save_dir", "outputs/run")) / time.strftime("%Y%m%d_%H%M%S")
-    logdir.mkdir(parents=True, exist_ok=True)
-    shutil.copy(args.config, logdir / "config.yaml")
+    if jax.process_index() == 0:
+        logdir.mkdir(parents=True, exist_ok=True)
+        shutil.copy(args.config, logdir / "config.yaml")
     # provenance (the reference snapshots config + src/ into the run dir,
     # src/util/general.py:21-27; a git hash serves the same purpose here)
     try:

@@ -6,6 +6,7 @@ from diner_tpu.parallel.mesh import (
     batch_sharding,
     process_local_slice,
 )
+from diner_tpu.parallel.multihost import init_multihost, global_batch
 
 __all__ = [
     "make_mesh",
@@ -14,4 +15,6 @@ __all__ = [
     "replicate",
     "batch_sharding",
     "process_local_slice",
+    "init_multihost",
+    "global_batch",
 ]

@@ -20,7 +20,8 @@ from typing import Callable, Iterable, Optional
 import jax
 import numpy as np
 
-from diner_tpu.parallel import make_data_mesh_for_batch, shard_batch, replicate
+from diner_tpu.parallel import (make_data_mesh_for_batch, replicate,
+                                global_batch)
 from diner_tpu.train.state import create_train_state
 from diner_tpu.train.step import make_train_step
 
@@ -112,7 +113,9 @@ def train(model, train_batches: Iterable, logdir, *,
     if mesh is None:
         bs = next(v.shape[0] for v in example_batch.values()
                   if hasattr(v, "shape"))
-        mesh = make_data_mesh_for_batch(bs)
+        # conf batch size is per-process (DDP semantics); the mesh spans
+        # the GLOBAL batch across all hosts
+        mesh = make_data_mesh_for_batch(bs * jax.process_count())
 
     rng = jax.random.PRNGKey(seed)
     state = create_train_state(model, rng, example_batch, lr=lr)
@@ -134,7 +137,7 @@ def train(model, train_batches: Iterable, logdir, *,
         except StopIteration:
             it = iter(train_batches)
             batch = next(it)
-        batch = shard_batch(batch, mesh)
+        batch = global_batch(batch, mesh)
         rng, key = jax.random.split(rng)
         state, losses = step_fn(state, batch, key)
 
