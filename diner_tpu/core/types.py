@@ -81,3 +81,13 @@ class RenderConfig:
     # n_depth_candidates / n_prior_anchors-fold. 0 = exact per-candidate
     # gathers (reference semantics). Mutually exclusive with prior_stride > 1.
     n_prior_anchors: int = 0
+    # reuse the sampler's epipolar anchors for the field's per-sample MVS
+    # depth lookup (the depth_dist feature, pixelnerf.py: ref depth at each
+    # sample's projection): the final z samples lie on the same epipolar
+    # chord as the candidates, so their nearest-pixel depth can be read from
+    # the already-gathered anchor table by pure arithmetic + an MXU one-hot
+    # remap — no per-sample image gather. Same error class as
+    # n_prior_anchors (anchor spacing <= chord_px / (2 * A) vs the
+    # reference's own +-0.5 px nearest-pixel quantization). Only active when
+    # n_prior_anchors > 0; False restores exact per-sample gathers.
+    anchor_field_depth: bool = True

@@ -13,6 +13,7 @@ ImageNet normalization constants match torchvision (pixelnerf.py:32-33).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -63,6 +64,37 @@ def index_depth_std(enc: SceneEncoding, uv):
 
 def index_normal(enc: SceneEncoding, uv):
     return grid_sample(enc.normals, uv, mode="nearest", padding_mode="zeros")
+
+
+def _anchor_ref_depth(epi_aux, uv):
+    """Per-sample MVS depth from the sampler's epipolar anchor table.
+
+    epi_aux: EpiAnchors with depth (SB, NV, NR, A); uv: (SB, NV, B, 2) with
+    B = NR * NS ordered ray-major. Maps each sample's projection to its
+    nearest anchor on the chord (pure arithmetic — collinear points) and
+    selects the anchor depth with an exact-f32 MXU one-hot remap on TPU
+    (take_along_axis elsewhere). Returns (SB, NV, B) f32.
+    """
+    from diner_tpu.sampler import anchor_ids
+
+    SB, NV, NR, A = epi_aux.depth.shape
+    B = uv.shape[2]
+    NS = B // NR
+    uvr = uv.reshape(SB, NV, NR, NS, 2)
+    a = anchor_ids(uvr, epi_aux.uv0, epi_aux.duv, epi_aux.dd, A)
+
+    if jax.default_backend() == "tpu":
+        from diner_tpu.sampler.pallas_remap import remap_anchors_pallas
+
+        G = SB * NV * NR
+        out = remap_anchors_pallas(
+            a.reshape(G, NS),
+            epi_aux.depth.reshape(G, 1, A).astype(jnp.float32),
+            exact=True)  # (G, 1, NS)
+        return out.reshape(SB, NV, B)
+    ref = jnp.take_along_axis(epi_aux.depth, a.reshape(SB, NV, NR, NS),
+                              axis=-1)
+    return ref.reshape(SB, NV, B)
 
 
 class PixelNeRF(nn.Module):
@@ -159,8 +191,16 @@ class PixelNeRF(nn.Module):
                              else None,
                              feature_padding=self.encoder.feature_padding)
 
-    def field(self, enc: SceneEncoding, xyz, viewdirs):
-        """xyz, viewdirs: (SB, B, 3) world space -> (SB, B, 4) [rgb, sigma]."""
+    def field(self, enc: SceneEncoding, xyz, viewdirs, epi_aux=None):
+        """xyz, viewdirs: (SB, B, 3) world space -> (SB, B, 4) [rgb, sigma].
+
+        epi_aux: optional EpiAnchors from the depth-guided sampler
+        (RenderConfig.anchor_field_depth). When given, the per-sample MVS
+        depth (the depth_dist feature) is read from the sampler's epipolar
+        anchor table by chord arithmetic + an MXU one-hot remap instead of a
+        per-sample nearest-pixel image gather; xyz must then be ordered
+        ray-major/sample-minor, matching the anchors' ray axis.
+        """
         SB, B, _ = xyz.shape
         NV = enc.poses.shape[1]
 
@@ -173,7 +213,10 @@ class PixelNeRF(nn.Module):
 
         uv = project_points(xyz_cam, enc.focal, enc.c, enc.image_shape)
         latent = index_latent(enc, uv)  # (SB, NV, B, C)
-        ref_depth = index_depth(enc, uv)[..., 0]  # (SB, NV, B)
+        if epi_aux is not None:
+            ref_depth = _anchor_ref_depth(epi_aux, uv)  # (SB, NV, B)
+        else:
+            ref_depth = index_depth(enc, uv)[..., 0]  # (SB, NV, B)
         depth_dist = ref_depth - xyz_cam[..., 2]
         depth_feature = posenc(depth_dist[..., None], self.num_freqs,
                                self.freq_factor)

@@ -11,6 +11,8 @@ ray_batch_size loop, but compiled once and device-resident).
 
 from __future__ import annotations
 
+import inspect
+
 import jax
 import jax.numpy as jnp
 
@@ -19,11 +21,30 @@ from diner_tpu.sampler import sample_depthguided
 from diner_tpu.renderer.composite import composite
 
 
+def _accepts_epi_aux(field_fn) -> bool:
+    """True if field_fn can take the sampler's EpiAnchors as a third arg."""
+    try:
+        params = inspect.signature(field_fn).parameters
+    except (TypeError, ValueError):
+        return False
+    return (len(params) >= 3
+            or any(p.kind == p.VAR_POSITIONAL for p in params.values()))
+
+
 def render_rays(field_fn, rng, rays, enc: SceneEncoding, cfg: RenderConfig,
                 want_weights: bool = False):
-    """rays: (SB, B, 8) -> dict(rgb (SB, B, 3), depth (SB, B)[, weights])."""
-    z = sample_depthguided(rng, rays, enc, cfg)
+    """rays: (SB, B, 8) -> dict(rgb (SB, B, 3), depth (SB, B)[, weights]).
+
+    field_fn: (xyz, dirs) -> (rgb, sigma); it may optionally accept a third
+    argument (the sampler's EpiAnchors) to reuse the epipolar anchor table
+    for its per-sample MVS depth lookup (RenderConfig.anchor_field_depth).
+    """
+    z, epi_aux = sample_depthguided(rng, rays, enc, cfg, return_aux=True)
     z = jax.lax.stop_gradient(z)  # reference samples under no_grad
+    if (epi_aux is not None and cfg.anchor_field_depth
+            and _accepts_epi_aux(field_fn)):
+        orig_fn = field_fn
+        field_fn = lambda pts, dirs: orig_fn(pts, dirs, epi_aux)
     weights, rgb, depth = composite(field_fn, rays, z, cfg.white_bkgd)
     out = {"rgb": rgb, "depth": depth}
     if want_weights:

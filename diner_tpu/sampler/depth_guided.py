@@ -24,6 +24,7 @@ is not required.
 from __future__ import annotations
 
 import math
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,20 @@ from jax.scipy.special import erf
 
 from diner_tpu.core.types import RenderConfig, SceneEncoding
 from diner_tpu.geometry import transform_points, project_points
+
+
+class EpiAnchors(NamedTuple):
+    """Per-(view, ray) epipolar-anchor state produced by the sampler and
+    reusable by the field (RenderConfig.anchor_field_depth): the chord
+    parameterization plus the anchor depth table. All candidates AND all
+    final z samples of a ray project onto the same epipolar segment, so any
+    later point can be mapped to its nearest anchor with pure arithmetic —
+    no further image gathers."""
+
+    uv0: jnp.ndarray    # (SB, NV, NR, 2) chord start (first candidate's uv)
+    duv: jnp.ndarray    # (SB, NV, NR, 2) chord vector (last - first)
+    dd: jnp.ndarray     # (SB, NV, NR) squared chord length
+    depth: jnp.ndarray  # (SB, NV, NR, A) anchor depth values
 
 
 def sample_stratified(rng, rays, n: int):
@@ -106,54 +121,56 @@ def _remap_monotone(vals, a, method: str = "take"):
                       vals.astype(jnp.bfloat16)).astype(vals.dtype)
 
 
-def _anchor_priors(enc: SceneEncoding, uv, n_anchors: int,
-                   remap: str | None = None):
-    """Epipolar-anchor prior fetch (RenderConfig.n_prior_anchors).
+def chord_params(uv, n_anchors: int):
+    """Chord parameterization of per-(ray, view) epipolar segments.
 
-    uv: (SB, NV, NR, NC, 2) candidate projections. All candidates of one
-    (ray, view) lie exactly on a straight segment in the image (the epipolar
-    line), so gather the priors at `n_anchors` points spaced uniformly along
-    the chord and give each candidate its nearest anchor. The chord parameter
-    of each candidate is recovered exactly by projecting uv onto the chord
-    (projections of collinear 3-D points are collinear), so the only
-    approximation is the anchor spacing: <= chord_px / (2 * n_anchors) pixels.
-    Degenerate chords (ray through the source camera center: every candidate
-    projects to one point) take the dd ~ 0 branch and read the mid anchor.
+    uv: (SB, NV, NR, N, 2) projections of N collinear 3-D points per ray.
+    All points of one (ray, view) lie exactly on a straight segment in the
+    image (the epipolar line); the chord parameter of each point is recovered
+    exactly by projecting uv onto the chord (projections of collinear 3-D
+    points are collinear). Degenerate chords (ray through the source camera
+    center: every point projects to one spot) take the dd ~ 0 branch and map
+    to the mid anchor.
+
+    Returns (uv0 (SB,NV,NR,2), duv (SB,NV,NR,2), dd (SB,NV,NR),
+    a (SB,NV,NR,N) int32 nearest-anchor ids in [0, n_anchors)).
     """
-    SB, NV, NR, NC, _ = uv.shape
-    A = n_anchors
-    uv0 = uv[..., :1, :]                    # (SB, NV, NR, 1, 2)
-    d = uv[..., -1:, :] - uv0               # (SB, NV, NR, 1, 2)
-    dd = jnp.sum(d * d, axis=-1)            # (SB, NV, NR, 1)
-    t = jnp.sum((uv - uv0) * d, axis=-1)    # (SB, NV, NR, NC)
+    uv0 = uv[..., 0, :]                         # (SB, NV, NR, 2)
+    duv = uv[..., -1, :] - uv0                  # (SB, NV, NR, 2)
+    dd = jnp.sum(duv * duv, axis=-1)            # (SB, NV, NR)
+    a = anchor_ids(uv, uv0, duv, dd, n_anchors)
+    return uv0, duv, dd, a
+
+
+def anchor_ids(uv, uv0, duv, dd, n_anchors: int):
+    """Nearest-anchor ids for points `uv` on the chord (uv0, duv, dd).
+
+    uv: (..., N, 2); uv0/duv: (..., 2); dd: (...). Returns (..., N) int32.
+    """
+    t = jnp.sum((uv - uv0[..., None, :]) * duv[..., None, :], axis=-1)
+    dd = dd[..., None]
     s = jnp.where(dd > 1e-12, t / jnp.where(dd == 0, 1.0, dd), 0.5)
-    a = jnp.clip((jnp.clip(s, 0.0, 1.0) * A).astype(jnp.int32), 0, A - 1)
+    return jnp.clip((jnp.clip(s, 0.0, 1.0) * n_anchors).astype(jnp.int32),
+                    0, n_anchors - 1)
 
-    frac = ((jnp.arange(A, dtype=uv.dtype) + 0.5) / A)[:, None]  # (A, 1)
-    uv_anchor = uv0 + frac * d              # (SB, NV, NR, A, 2)
+
+def _gather_anchor_priors(enc: SceneEncoding, uv0, duv, n_anchors: int):
+    """Gather (depth, std, normal) at `n_anchors` points spaced uniformly
+    along each chord. Returns (depth (SB,NV,NR,A), std (SB,NV,NR,A),
+    normal (SB,NV,NR,A,3)). Anchor-spacing error vs per-point gathers is
+    <= chord_px / (2 * n_anchors) pixels (RenderConfig.n_prior_anchors)."""
+    SB, NV, NR, _ = uv0.shape
+    A = n_anchors
+    frac = ((jnp.arange(A, dtype=uv0.dtype) + 0.5) / A)[:, None]  # (A, 1)
+    uv_anchor = uv0[..., None, :] + frac * duv[..., None, :]  # (SB,NV,NR,A,2)
     ad, astd, anrm = gather_priors(enc, uv_anchor.reshape(SB, NV, NR * A, 2))
-    vals = jnp.concatenate(
-        [ad[..., None], astd[..., None], anrm], axis=-1)  # (SB, NV, NR*A, 5)
-
-    if remap is None:
-        # the MXU one-hot kernel is the fast path on TPU; XLA take_along_axis
-        # is the portable fallback (CPU tests, other backends)
-        remap = "pallas" if jax.default_backend() == "tpu" else "take"
-    if remap == "pallas":
-        from diner_tpu.sampler.pallas_remap import remap_anchors_pallas
-
-        G = SB * NV * NR
-        vals_gck = vals.reshape(G, A, 5).swapaxes(1, 2)  # (G, 5, A)
-        out = remap_anchors_pallas(a.reshape(G, NC), vals_gck)  # (G, 5, NC)
-        out = out.reshape(SB, NV, NR, 5, NC)
-        return out[..., 0, :], out[..., 1, :], jnp.moveaxis(
-            out[..., 2:5, :], -2, -1)
-    out = _remap_monotone(vals.reshape(SB, NV, NR, A, 5), a)
-    return out[..., 0], out[..., 1], out[..., 2:5]
+    return (ad.reshape(SB, NV, NR, A), astd.reshape(SB, NV, NR, A),
+            anrm.reshape(SB, NV, NR, A, 3))
 
 
 def surface_likelihoods(rays, z, enc: SceneEncoding, depth_diff_max: float,
-                        prior_stride: int = 1, n_prior_anchors: int = 0):
+                        prior_stride: int = 1, n_prior_anchors: int = 0,
+                        return_aux: bool = False):
     """Per-candidate surface likelihoods from the MVS depth priors.
 
     rays: (SB, NR, 8); z: (SB, NR, NC) distances along the (unit) ray dirs.
@@ -162,7 +179,9 @@ def surface_likelihoods(rays, z, enc: SceneEncoding, depth_diff_max: float,
     n_prior_anchors > 0 uses the epipolar-anchor fetch instead (see
     RenderConfig.n_prior_anchors; mutually exclusive with prior_stride > 1).
     Returns (p, opaque_p), each (SB, NR, NC): raw max-over-views likelihood and
-    its occlusion-aware (transmittance-weighted) variant.
+    its occlusion-aware (transmittance-weighted) variant. With
+    return_aux=True, returns (p, opaque_p, aux) where aux is the EpiAnchors
+    state (None unless anchors are on) for reuse by the field.
     """
     SB, NR, NC = z.shape
     NV = enc.poses.shape[1]
@@ -172,19 +191,79 @@ def surface_likelihoods(rays, z, enc: SceneEncoding, depth_diff_max: float,
     assert not (s > 1 and n_prior_anchors), \
         "prior_stride and n_prior_anchors are mutually exclusive"
 
-    xyz = rays[..., None, :3] + z[..., None] * rays[..., None, 3:6]
-    xyz = xyz.reshape(SB, B, 3)
-    xyz_nv = jnp.broadcast_to(xyz[:, None], (SB, NV, B, 3))
-    xyz_cam = transform_points(enc.poses, xyz_nv)  # (SB, NV, B, 3)
-
     dirs = jnp.broadcast_to(rays[:, None, :, 3:6], (SB, NV, NR, 3))
     dirs_cam = jnp.einsum("svij,svrj->svri", enc.poses[..., :3, :3], dirs)
+    aux = None
 
-    uv = project_points(xyz_cam, enc.focal, enc.c, enc.image_shape)
     if n_prior_anchors:
-        ref_depth, ref_std, ref_normal = _anchor_priors(
-            enc, uv.reshape(SB, NV, NR, NC, 2), n_prior_anchors)
+        # Per-(view, ray) closed form instead of a 33M-point pipeline: the
+        # camera-space point along one ray is o_cam + z*d_cam (linear in z),
+        # so its normalized projection is rational-linear,
+        # uv(z) = (U0 + z*U1) / z_cam(z), and the chord parameter collapses
+        # to s(z) = (P0 + P1*z) / (dd * z_cam(z)) with per-ray scalars
+        # P0/P1. Anchor ids and cam depths for every candidate then cost a
+        # few fused VPU ops each — transform_points/project_points over
+        # (NV, NR, NC) points never materialize.
+        A = n_prior_anchors
+        o_nv = jnp.broadcast_to(rays[:, None, :, :3], (SB, NV, NR, 3))
+        o_cam = transform_points(enc.poses, o_nv)      # (SB, NV, NR, 3)
+        wh = jnp.asarray(enc.image_shape, rays.dtype)  # (2,) [W, H]
+        f2 = (enc.focal * 2.0 / wh)[:, :, None]        # (SB, NV, 1, 2)
+        cterm = (enc.c * 2.0 / wh - 1.0)[:, :, None]
+        U0 = o_cam[..., :2] * f2 + o_cam[..., 2:3] * cterm  # (SB, NV, NR, 2)
+        U1 = dirs_cam[..., :2] * f2 + dirs_cam[..., 2:3] * cterm
+        w0, w1 = o_cam[..., 2], dirs_cam[..., 2]       # (SB, NV, NR)
+
+        z0, zL = z[:, None, :, 0], z[:, None, :, -1]   # (SB, NV, NR)
+        uv0 = (U0 + z0[..., None] * U1) / (w0 + z0 * w1)[..., None]
+        uvL = (U0 + zL[..., None] * U1) / (w0 + zL * w1)[..., None]
+        duv = uvL - uv0
+        dd = jnp.sum(duv * duv, axis=-1)               # (SB, NV, NR)
+        P0 = jnp.sum((U0 - w0[..., None] * uv0) * duv, axis=-1)
+        P1 = jnp.sum((U1 - w1[..., None] * uv0) * duv, axis=-1)
+
+        z_nv = z[:, None]                              # (SB, 1, NR, NC)
+        z_cam = w0[..., None] + z_nv * w1[..., None]   # (SB, NV, NR, NC)
+        t = (P0[..., None] + z_nv * P1[..., None]) \
+            / (z_cam * jnp.where(dd == 0, 1.0, dd)[..., None])
+        s_par = jnp.where(dd[..., None] > 1e-12, t, 0.5)
+        a = jnp.clip((jnp.clip(s_par, 0.0, 1.0) * A).astype(jnp.int32),
+                     0, A - 1)
+
+        ad, astd, anrm = _gather_anchor_priors(enc, uv0, duv, A)
+        aux = EpiAnchors(uv0=uv0, duv=duv, dd=dd, depth=ad)
+        # the normal gate's cosine depends only on the anchor (the ray
+        # direction is constant along the chord): fold it per-anchor so the
+        # remap carries 3 channels [depth, std, cos] instead of 5
+        acos = jnp.sum(dirs_cam[:, :, :, None, :] * anrm, axis=-1)
+        if jax.default_backend() == "tpu":
+            # fused Pallas kernel: one-hot MXU remap (exact f32) + gated
+            # erf-bin mass, all VMEM-resident — only (G, NC) leaves the chip
+            from diner_tpu.sampler.pallas_likelihood import (
+                likelihood_from_anchors)
+
+            G = SB * NV * NR
+            vals = jnp.stack([ad, astd, acos], axis=3)  # (SB, NV, NR, 3, A)
+            half_step = ((rays[..., 7] - rays[..., 6]) / (2 * NC))  # (SB, NR)
+            half_step = jnp.broadcast_to(half_step[:, None], (SB, NV, NR))
+            p = likelihood_from_anchors(
+                a.reshape(G, NC), vals.reshape(G, 3, A).astype(jnp.float32),
+                z_cam.reshape(G, NC), half_step.reshape(G, 1),
+                depth_diff_max)
+            p = p.reshape(SB, NV, NR, NC)
+            return _finish_likelihood(p, aux, return_aux)
+        # portable fallback (CPU tests, other backends): remap per candidate,
+        # then the same XLA likelihood math as the exact path
+        vals = jnp.stack([ad, astd, acos], axis=-1)  # (SB, NV, NR, A, 3)
+        out = _remap_monotone(vals, a)
+        ref_depth, ref_std, cos = out[..., 0], out[..., 1], out[..., 2]
     else:
+        xyz = rays[..., None, :3] + z[..., None] * rays[..., None, 3:6]
+        xyz = xyz.reshape(SB, B, 3)
+        xyz_nv = jnp.broadcast_to(xyz[:, None], (SB, NV, B, 3))
+        xyz_cam = transform_points(enc.poses, xyz_nv)  # (SB, NV, B, 3)
+        uv = project_points(xyz_cam, enc.focal, enc.c, enc.image_shape)
+        z_cam = xyz_cam[..., 2].reshape(SB, NV, NR, NC)
         if s > 1:
             uv = uv.reshape(SB, NV, NR, NC, 2)[:, :, :, ::s]
             uv = uv.reshape(SB, NV, NR * (NC // s), 2)
@@ -199,23 +278,28 @@ def surface_likelihoods(rays, z, enc: SceneEncoding, depth_diff_max: float,
             ref_depth = ref_depth.reshape(SB, NV, NR, NC)
             ref_std = ref_std.reshape(SB, NV, NR, NC)
             ref_normal = ref_normal.reshape(SB, NV, NR, NC, 3)
-    z_cam = xyz_cam[..., 2].reshape(SB, NV, NR, NC)
+        cos = jnp.sum(dirs_cam[:, :, :, None, :] * ref_normal, axis=-1)
 
     step = ((rays[..., 7] - rays[..., 6]) / NC)[:, None, :, None]  # (SB,1,NR,1)
 
-    cos = jnp.sum(dirs_cam[:, :, :, None, :] * ref_normal, axis=-1)
     valid = (cos <= 0) & (jnp.abs(ref_depth - z_cam) < depth_diff_max) & (ref_std != 0)
 
     safe_std = jnp.where(ref_std == 0, 1.0, ref_std) * math.sqrt(2.0)
     hi = erf((z_cam + step / 2 - ref_depth) / safe_std)
     lo = erf((z_cam - step / 2 - ref_depth) / safe_std)
     p = jnp.where(valid, 0.5 * jnp.abs(hi - lo), 0.0)  # (SB, NV, NR, NC)
+    return _finish_likelihood(p, aux, return_aux)
 
+
+def _finish_likelihood(p, aux, return_aux):
+    """Max over views + occlusion transmittance, shared by both paths."""
     p = jnp.max(p, axis=1)  # (SB, NR, NC)
-
     # occlusion-aware: multiply by transmittance of all *earlier* candidates
     trans = jnp.cumprod(1.0 - p, axis=-1)
-    trans = jnp.concatenate([jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
+    trans = jnp.concatenate([jnp.ones_like(trans[..., :1]), trans[..., :-1]],
+                            axis=-1)
+    if return_aux:
+        return p, p * trans, aux
     return p, p * trans
 
 
@@ -241,18 +325,22 @@ def fill_uniform(rng, z, rays):
     return jnp.sort(z, axis=-1)
 
 
-def sample_depthguided(rng, rays, enc: SceneEncoding, cfg: RenderConfig):
+def sample_depthguided(rng, rays, enc: SceneEncoding, cfg: RenderConfig,
+                       return_aux: bool = False):
     """Full depth-guided sampling: (SB, NR, 8) rays -> (SB, NR, n_samples) z,
     sorted ascending, ready for compositing. No gradients flow through this
     (the reference runs it under no_grad); callers wrap in lax.stop_gradient.
+    With return_aux=True also returns the EpiAnchors state (None unless
+    cfg.n_prior_anchors) for anchor-based field depth lookup.
     """
     assert cfg.n_samples >= cfg.n_gaussian
     k_strat, k_gauss, k_fill = jax.random.split(rng, 3)
 
     z_cand = sample_stratified(k_strat, rays, cfg.n_depth_candidates)
-    p, opaque = surface_likelihoods(rays, z_cand, enc, cfg.depth_diff_max,
-                                    prior_stride=cfg.prior_stride,
-                                    n_prior_anchors=cfg.n_prior_anchors)
+    p, opaque, aux = surface_likelihoods(rays, z_cand, enc, cfg.depth_diff_max,
+                                         prior_stride=cfg.prior_stride,
+                                         n_prior_anchors=cfg.n_prior_anchors,
+                                         return_aux=True)
 
     if cfg.approx_topk:
         top_p, top_idx = jax.lax.approx_max_k(p, cfg.n_samples)
@@ -272,4 +360,7 @@ def sample_depthguided(rng, rays, enc: SceneEncoding, cfg: RenderConfig):
         g = jnp.where(hit, g, 0.0)
         z_sel = jnp.concatenate([z_sel[..., : -cfg.n_gaussian], g], axis=-1)
 
-    return fill_uniform(k_fill, z_sel, rays)
+    z_out = fill_uniform(k_fill, z_sel, rays)
+    if return_aux:
+        return z_out, aux
+    return z_out

@@ -1,0 +1,107 @@
+"""Pallas TPU kernel: fused anchor-remap + surface-likelihood evaluation.
+
+The epipolar-anchor sampler gathers (depth, std, normal) at A anchors per
+(ray, view) group; each of the NC depth candidates then needs its nearest
+anchor's values pushed through the likelihood math (erf probability mass of
+N(depth, std^2) inside the candidate's depth bin, gated on front-facing
+normals / depth window / valid sigma — reference:
+src/models/nerf_renderer.py:122-180 in malteprinzler/diner).
+
+Doing remap and likelihood as separate XLA stages materializes the
+per-candidate (G, 5, NC) prior tensor in HBM (~650 MB/chunk at bench shapes)
+and runs ~15 elementwise passes over (NV, NR, NC) tensors. This kernel keeps
+everything in VMEM: it builds the (A, NC) one-hot from iota+compare (TPU
+Pallas cannot gather), contracts it on the MXU in f32 (exact selection — one
+f32 term per candidate, no bf16 rounding of depths), and evaluates the gated
+erf-bin mass in-register. Only the (G, NC) likelihood leaves the kernel.
+
+erf is not lowerable in Pallas TPU (KernelType.TC), so the kernel uses the
+Abramowitz & Stegun 7.1.26 rational polynomial (max abs err ~2e-6 — two
+orders below the likelihood scale that matters for top-k candidate ranking).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SQRT2 = math.sqrt(2.0)
+
+
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 erf approximation (max abs err ~2e-6)."""
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    y = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+        + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - y * jnp.exp(-ax * ax))
+
+
+def _likelihood_kernel(a_ref, vals_ref, z_ref, hs_ref, o_ref, *, tg: int,
+                       depth_diff_max: float):
+    """a: (TG, NC) int32 anchor ids; vals: (TG, 3, A) f32 [depth, std, cos];
+    z: (TG, NC) f32 cam-space candidate depth; hs: (TG, 1) f32 half bin step;
+    out: (TG, NC) f32 likelihood."""
+    A = vals_ref.shape[-1]
+    NC = a_ref.shape[-1]
+    iota_a = jax.lax.broadcasted_iota(jnp.int32, (A, NC), 0)
+    for g in range(tg):
+        onehot = (iota_a == a_ref[g, :][None, :]).astype(jnp.float32)
+        # (3, A) @ (A, NC) f32 on the MXU: exactly one f32 term per candidate
+        dsc = jnp.dot(vals_ref[g], onehot,
+                      preferred_element_type=jnp.float32)  # (3, NC)
+        d, std, cos = dsc[0:1], dsc[1:2], dsc[2:3]
+        z = z_ref[g, :][None, :]
+        hs = hs_ref[g, 0]
+        valid = (cos <= 0.0) & (jnp.abs(d - z) < depth_diff_max) & (std != 0.0)
+        sstd = jnp.where(std == 0.0, 1.0, std) * _SQRT2
+        hi = _erf((z + hs - d) / sstd)
+        lo = _erf((z - hs - d) / sstd)
+        p = jnp.where(valid, 0.5 * jnp.abs(hi - lo), 0.0)
+        o_ref[g, :] = p[0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("depth_diff_max", "tg", "interpret"))
+def likelihood_from_anchors(a, vals, z_cam, half_step, depth_diff_max: float,
+                            tg: int = 8, interpret: bool = False):
+    """Fused anchor remap + erf-bin surface likelihood.
+
+    a: (G, NC) int32 anchor ids in [0, A); vals: (G, 3, A) f32 packed
+    [anchor_depth, anchor_std, anchor_cos]; z_cam: (G, NC) f32; half_step:
+    (G, 1) f32 (half the candidate bin width along the ray, per group).
+    Returns p: (G, NC) f32 — the gated probability mass, equal (to ~2e-6,
+    the erf polynomial) to remapping the anchors per-candidate and running
+    the XLA likelihood math.
+    """
+    G, NC = a.shape
+    Gp = -(-G // tg) * tg
+    if Gp != G:
+        a = jnp.pad(a, ((0, Gp - G), (0, 0)))
+        vals = jnp.pad(vals, ((0, Gp - G), (0, 0), (0, 0)))
+        z_cam = jnp.pad(z_cam, ((0, Gp - G), (0, 0)))
+        half_step = jnp.pad(half_step, ((0, Gp - G), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_likelihood_kernel, tg=tg,
+                          depth_diff_max=depth_diff_max),
+        out_shape=jax.ShapeDtypeStruct((Gp, NC), jnp.float32),
+        grid=(Gp // tg,),
+        in_specs=[
+            pl.BlockSpec((tg, NC), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tg, 3, vals.shape[-1]), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tg, NC), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tg, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tg, NC), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(a, vals, z_cam, half_step)
+    return out[:G]

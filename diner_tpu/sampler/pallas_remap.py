@@ -26,26 +26,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _remap_kernel(a_ref, vals_ref, out_ref, *, tg: int):
+def _remap_kernel(a_ref, vals_ref, out_ref, *, tg: int, exact: bool):
     """a: (TG, NC) int32 anchor ids; vals: (TG, C, K); out: (TG, C, NC)."""
     K = vals_ref.shape[-1]
     NC = a_ref.shape[-1]
+    dot_dtype = jnp.float32 if exact else jnp.bfloat16
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, NC), 0)
     for g in range(tg):
-        onehot = (iota_k == a_ref[g, :][None, :]).astype(jnp.bfloat16)
-        vals = vals_ref[g].astype(jnp.bfloat16)  # (C, K)
+        onehot = (iota_k == a_ref[g, :][None, :]).astype(dot_dtype)
+        vals = vals_ref[g].astype(dot_dtype)  # (C, K)
         out_ref[g] = jnp.dot(vals, onehot,
                              preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("tg", "interpret"))
-def remap_anchors_pallas(a, vals, tg: int = 8, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("tg", "interpret", "exact"))
+def remap_anchors_pallas(a, vals, tg: int = 8, interpret: bool = False,
+                         exact: bool = False):
     """out[g, c, t] = vals[g, c, a[g, t]].
 
     a: (G, NC) int32 in [0, K); vals: (G, C, K) f32. Returns (G, C, NC) f32.
-    G is padded to a multiple of `tg` internally. Exact selection (the one-hot
-    matmul sums exactly one bf16-rounded term per candidate; values round to
-    bf16, which is already the precision class of the bf16 compute path).
+    G is padded to a multiple of `tg` internally. With exact=False the one-hot
+    matmul runs in bf16 (values round to bf16, which is already the precision
+    class of the bf16 compute path); exact=True keeps it f32 — the one-hot
+    contraction sums exactly one unrounded f32 term per output, bit-exact
+    selection at a lower (but here negligible) MXU rate.
     """
     G, NC = a.shape
     _, C, K = vals.shape
@@ -55,7 +59,7 @@ def remap_anchors_pallas(a, vals, tg: int = 8, interpret: bool = False):
         vals = jnp.pad(vals, ((0, Gp - G), (0, 0), (0, 0)))
 
     out = pl.pallas_call(
-        functools.partial(_remap_kernel, tg=tg),
+        functools.partial(_remap_kernel, tg=tg, exact=exact),
         out_shape=jax.ShapeDtypeStruct((Gp, C, NC), jnp.float32),
         grid=(Gp // tg,),
         in_specs=[

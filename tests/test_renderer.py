@@ -211,3 +211,36 @@ def test_pallas_composite_matches_xla():
         np.testing.assert_allclose(np.asarray(acc),
                                    np.asarray(w_ref.sum(-1)),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_render_rays_anchor_field_depth():
+    """Anchors on + aux-aware field_fn: the full render agrees closely with
+    the exact path (anchor spacing far below a pixel at this scale)."""
+    model, images, base = _tiny_model_and_batch()
+    K = np.zeros((1, 2, 3, 3), np.float32)
+    K[..., 0, 0] = K[..., 1, 1] = 20.0
+    K[..., 0, 2], K[..., 1, 2], K[..., 2, 2] = 10.0, 8.0, 1.0
+    xyz = jnp.zeros((1, 1, 3))
+    variables = model.init(jax.random.PRNGKey(0), images, base.depths,
+                           base.depth_stds, base.poses, jnp.asarray(K), xyz, xyz)
+    enc = model.apply(variables, images, base.depths, base.depth_stds,
+                      base.poses, jnp.asarray(K), method="encode")
+
+    def field_fn(pts, dirs, aux=None):
+        return model.apply(variables, enc, pts, dirs, aux, method="field")
+
+    rays = _center_rays(1, 5)
+    cfg_exact = RenderConfig(n_samples=8, n_depth_candidates=32, n_gaussian=3)
+    cfg_anchor = RenderConfig(n_samples=8, n_depth_candidates=32, n_gaussian=3,
+                              n_prior_anchors=256, anchor_field_depth=True)
+    out_e = render_rays(field_fn, jax.random.PRNGKey(1), rays, enc, cfg_exact)
+    out_a = render_rays(field_fn, jax.random.PRNGKey(1), rays, enc, cfg_anchor)
+    assert not np.isnan(np.asarray(out_a["rgb"])).any()
+    np.testing.assert_allclose(np.asarray(out_e["rgb"]),
+                               np.asarray(out_a["rgb"]), atol=0.05)
+
+    # a 2-arg field_fn must keep working (falls back to exact index_depth)
+    out_b = render_rays(lambda p, d: model.apply(variables, enc, p, d,
+                                                 method="field"),
+                        jax.random.PRNGKey(1), rays, enc, cfg_anchor)
+    assert out_b["rgb"].shape == (1, 5, 3)

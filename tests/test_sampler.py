@@ -294,3 +294,104 @@ def test_pallas_remap_matches_take():
                              np.asarray(a)[:, None, :].repeat(C, 1), axis=-1)
     # exact selection; values pass through bf16 once
     np.testing.assert_allclose(out, ref, rtol=8e-3, atol=1e-3)
+
+
+def test_fused_likelihood_kernel_matches_fallback():
+    """Pallas fused remap+likelihood (interpret mode) vs the XLA math."""
+    from diner_tpu.sampler.pallas_likelihood import likelihood_from_anchors
+
+    rng = np.random.RandomState(11)
+    G, A, NC = 13, 16, 120  # G deliberately not a multiple of tg
+    depth = rng.rand(G, A).astype(np.float32) * 2.0 + 1.0
+    std = (rng.rand(G, A).astype(np.float32) * 0.3)
+    std[rng.rand(G, A) < 0.2] = 0.0          # some invalid-sigma anchors
+    cos = (rng.rand(G, A).astype(np.float32) - 0.7)  # mixed-sign gate
+    vals = jnp.asarray(np.stack([depth, std, cos], axis=1))  # (G, 3, A)
+    a = jnp.asarray(np.sort(rng.randint(0, A, (G, NC)), axis=-1))
+    z_cam = jnp.asarray((rng.rand(G, NC).astype(np.float32) * 2.0 + 1.0))
+    half_step = jnp.asarray(rng.rand(G, 1).astype(np.float32) * 0.01 + 0.001)
+    ddm = 0.5
+
+    out = np.asarray(likelihood_from_anchors(a, vals, z_cam, half_step, ddm,
+                                             tg=8, interpret=True))
+
+    an = np.asarray(a)
+    d = np.take_along_axis(depth, an, axis=-1)
+    s = np.take_along_axis(std, an, axis=-1)
+    c = np.take_along_axis(cos, an, axis=-1)
+    z = np.asarray(z_cam)
+    hs = np.asarray(half_step)
+    valid = (c <= 0) & (np.abs(d - z) < ddm) & (s != 0)
+    sstd = np.where(s == 0, 1.0, s) * math.sqrt(2.0)
+    hi = scipy_erf((z + hs - d) / sstd)
+    lo = scipy_erf((z - hs - d) / sstd)
+    ref = np.where(valid, 0.5 * np.abs(hi - lo), 0.0)
+    # erf polynomial (A&S 7.1.26): max abs err ~2e-6
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_surface_likelihoods_returns_anchor_aux():
+    enc = _make_enc(depth=2.0, std=0.05)
+    rays = _center_rays(near=1.0, far=3.0)
+    z = sample_stratified(jax.random.PRNGKey(0), rays, 100)
+    p, _, aux = surface_likelihoods(rays, z, enc, 0.5, n_prior_anchors=8,
+                                    return_aux=True)
+    assert aux is not None
+    assert aux.depth.shape == (1, 1, 1, 8)
+    assert aux.uv0.shape == (1, 1, 1, 2)
+    p2, _, aux2 = surface_likelihoods(rays, z, enc, 0.5, return_aux=True)
+    assert aux2 is None
+
+
+def test_pallas_remap_exact_f32():
+    """exact=True one-hot remap: bit-exact f32 selection (interpret mode)."""
+    from diner_tpu.sampler.pallas_remap import remap_anchors_pallas
+
+    rng = np.random.RandomState(9)
+    G, C, K, NC = 10, 1, 16, 40
+    vals = jnp.asarray(rng.rand(G, C, K).astype(np.float32))
+    a = jnp.asarray(np.sort(rng.randint(0, K, (G, NC)), axis=-1))
+    out = np.asarray(remap_anchors_pallas(a, vals, tg=8, interpret=True,
+                                          exact=True))
+    ref = np.take_along_axis(np.asarray(vals),
+                             np.asarray(a)[:, None, :].repeat(C, 1), axis=-1)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_anchor_field_depth_matches_index_depth():
+    """Field ref-depth from the sampler's anchor table vs per-sample
+    nearest-pixel gathers: identical almost everywhere when anchors are
+    spaced much finer than a pixel."""
+    from diner_tpu.geometry import transform_points, project_points
+    from diner_tpu.models.pixelnerf import _anchor_ref_depth, index_depth
+
+    rng = np.random.RandomState(5)
+    H = W = 16
+    enc = _make_enc(H=H, W=W, depth=2.0, std=0.05)
+    enc = enc.replace(depths=jnp.asarray(
+        rng.rand(1, 1, H, W, 1).astype(np.float32) + 1.0))
+    rays = np.zeros((1, 2, 8), np.float32)
+    rays[..., 0] = [[0.11, -0.07]]   # off-axis -> short epipolar chords
+    rays[..., 5] = 1.0
+    rays[..., 6] = 1.0
+    rays[..., 7] = 3.0
+    rays = jnp.asarray(rays)
+    z_cand = sample_stratified(jax.random.PRNGKey(0), rays, 200)
+    _, _, aux = surface_likelihoods(rays, z_cand, enc, 0.5,
+                                    n_prior_anchors=512, return_aux=True)
+
+    # arbitrary per-ray samples inside [near, far], ray-major order
+    NS = 24
+    z = jnp.asarray(
+        (1.0 + rng.rand(1, 2, NS).astype(np.float32) * 2.0))
+    pts = rays[:, :, None, :3] + z[..., None] * rays[:, :, None, 3:6]
+    SB, NR = 1, 2
+    pts = pts.reshape(SB, NR * NS, 3)
+    xyz_nv = jnp.broadcast_to(pts[:, None], (SB, 1, NR * NS, 3))
+    xyz_cam = transform_points(enc.poses, xyz_nv)
+    uv = project_points(xyz_cam, enc.focal, enc.c, enc.image_shape)
+
+    got = np.asarray(_anchor_ref_depth(aux, uv))
+    ref = np.asarray(index_depth(enc, uv)[..., 0])
+    match = np.isclose(got, ref, rtol=1e-6)
+    assert match.mean() >= 0.95, f"only {match.mean():.3f} matched"
