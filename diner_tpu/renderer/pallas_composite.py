@@ -16,11 +16,13 @@ on TPU (no per-lane int indexing); compositing is the piece of the ray
 pipeline that fuses cleanly. Numerical semantics match `composite` exactly
 (same 1e-10 stabilizer, last delta = far - z_K, optional white background).
 
-Status: compiled + validated bit-near on v5e. Standalone micro-timing is
-dominated by the sandbox tunnel's per-call overhead, so it is not wired in as
-the default composite yet — compositing is <5% of frame time (PERFORMANCE.md);
-this kernel is the fusion groundwork for folding the field MLP epilogue into
-the same VMEM pass in a later round.
+Status: compiled + validated bit-near on v5e, and measured IN-PROGRAM inside
+the full bench render (round 2): swapping it for the XLA composite changes
+the image by <5e-7 but is ~2% slower end-to-end (1.608 vs 1.579 s/frame at
+n_prior_anchors=128) — XLA already fuses the alpha chain into the field-MLP
+epilogue, and the kernel's channel-split layout forces an extra
+materialization of field_out. Kept as a validated alternative (and as
+groundwork for a future fused field-epilogue kernel), not the default.
 """
 
 from __future__ import annotations
