@@ -115,3 +115,70 @@ def read_ply(path):
     if "red" in data.dtype.names:
         out["colors"] = np.stack([data["red"], data["green"], data["blue"]], -1)
     return out
+
+
+def read_ply_mesh(path):
+    """Triangle-mesh PLY reader (ascii or binary_little_endian): the raw
+    FaceScape scan format consumed by the preprocessing driver (reference
+    loads it via trimesh, process_dataset.py:108).
+
+    Returns (vertices (N, 3) f32, faces (M, 3) i32); faces with >3 indices
+    are fan-triangulated.
+    """
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError("not a PLY file")
+        fmt = f.readline().split()[1]
+        elements = []  # (name, count, [(prop_name, type_str)])
+        while True:
+            line = f.readline().strip()
+            if line.startswith(b"element"):
+                _, name, cnt = line.split()
+                elements.append([name.decode(), int(cnt), []])
+            elif line.startswith(b"property"):
+                parts = line.split()
+                if parts[1] == b"list":
+                    elements[-1][2].append(("__list__", (parts[2].decode(),
+                                                         parts[3].decode())))
+                else:
+                    elements[-1][2].append((parts[-1].decode(),
+                                            parts[1].decode()))
+            elif line == b"end_header":
+                break
+
+        np_t = {"float": "f4", "float32": "f4", "double": "f8",
+                "uchar": "u1", "uint8": "u1", "char": "i1", "short": "i2",
+                "ushort": "u2", "int": "i4", "int32": "i4", "uint": "u4"}
+        verts, faces = None, []
+        for name, cnt, props in elements:
+            if fmt == b"ascii":
+                rows = [f.readline().split() for _ in range(cnt)]
+                if name == "vertex":
+                    idx = [i for i, (p, _) in enumerate(props)
+                           if p in ("x", "y", "z")]
+                    verts = np.array([[float(r[i]) for i in idx]
+                                      for r in rows], np.float32)
+                elif name == "face":
+                    for r in rows:
+                        k = int(r[0])
+                        faces.extend([[int(r[1]), int(r[1 + j]),
+                                       int(r[2 + j])] for j in range(1, k - 1)])
+                continue
+            if name == "vertex":
+                rec = np.dtype([(p, np_t[t]) for p, t in props])
+                data = np.fromfile(f, rec, cnt)
+                verts = np.stack([data["x"], data["y"], data["z"]],
+                                 -1).astype(np.float32)
+            elif name == "face":
+                (_, (cnt_t, idx_t)), = [p for p in props if p[0] == "__list__"]
+                for _ in range(cnt):
+                    k = int(np.fromfile(f, np_t[cnt_t], 1)[0])
+                    idxs = np.fromfile(f, np_t[idx_t], k).astype(np.int64)
+                    for j in range(1, k - 1):
+                        faces.append([idxs[0], idxs[j], idxs[j + 1]])
+            else:  # skip unknown fixed-size element
+                rec = np.dtype([(p, np_t[t]) for p, t in props])
+                np.fromfile(f, rec, cnt)
+    if verts is None:
+        raise ValueError("PLY has no vertex element")
+    return verts, np.asarray(faces, np.int32).reshape(-1, 3)

@@ -82,3 +82,108 @@ def write_cameras(out_dir, cams: dict):
     p = Path(out_dir) / "cameras.json"
     p.write_text(json.dumps(ser, indent="\t"))
     return p
+
+
+def read_cam_extrinsics(cam_dict, view_ids):
+    """params.json -> per-view (4, 4) world->cam extrinsics
+    (process_dataset.py key contract: `<i>_Rt`)."""
+    out = {}
+    for i in view_ids:
+        rt = np.asarray(cam_dict[f"{i}_Rt"], np.float32)
+        ext = np.eye(4, dtype=np.float32)
+        ext[:3] = rt[:3]
+        out[i] = ext
+    return out
+
+
+def process_subject(dir_in, dir_out, align=None, crop_out: int = 256,
+                    margin: float = 0.1):
+    """Raw FaceScape subject -> loader-ready processed subject.
+
+    Mirrors deps/facescape_preprocessing/process_dataset.py:94-287: for each
+    numeric pose dir `<dir_in>/<pose>_*` containing `params.json` and the
+    view images `<i>.jpg|png`, with the scan mesh at
+    `<dir_in>/<pose>_*.ply`: apply the canonical similarity alignment,
+    undistort + render mesh depth + silhouette-crop every valid view, and
+    write `<dir_out>/<pose>/view_XXXXX/{rgba.png, depth.png}` +
+    `cameras.json`.
+
+    align: optional {pose: {"scale": s, "Rt": 4x4}} dict (the reference's
+    precomputed align_Rts); identity when absent. Returns the list of
+    processed pose output dirs.
+    """
+    import imageio.v2 as imageio
+
+    from diner_tpu.fusion.ply import read_ply_mesh
+
+    dir_in, dir_out = Path(dir_in), Path(dir_out)
+    done = []
+    pose_dirs = sorted(d for d in dir_in.iterdir()
+                       if d.is_dir() and d.name[0].isdigit())
+    for pose_dir in pose_dirs:
+        pose = pose_dir.name.split("_")[0]
+        params = pose_dir / "params.json"
+        mesh_ply = pose_dir.parent / (pose_dir.name + ".ply")
+        if not (params.exists() and mesh_ply.exists()):
+            continue
+        cam_dict = json.loads(params.read_text())
+        imgs = sorted(p for p in pose_dir.iterdir()
+                      if p.suffix.lower() in (".jpg", ".jpeg", ".png"))
+        view_ids = [p.stem for p in imgs]
+        exts = read_cam_extrinsics(cam_dict, view_ids)
+        verts, faces = read_ply_mesh(mesh_ply)
+
+        if align and pose in align:
+            a = align[pose]
+            rt = np.asarray(a["Rt"], np.float32)
+            s = float(a["scale"])
+            verts = apply_similarity(verts, s, rt[:3, :3], rt[:3, 3])
+            # cameras move with the inverse of the world alignment
+            # S(x) = s R x + t: ext' = ext o S^-1, S^-1(y) = R^T (y - t)/s
+            A_inv = np.eye(4, dtype=np.float32)
+            A_inv[:3, :3] = rt[:3, :3].T / s
+            A_inv[:3, 3] = -rt[:3, :3].T @ rt[:3, 3] / s
+            exts = {i: e @ A_inv for i, e in exts.items()}
+
+        out_pose = dir_out / pose
+        cams = {}
+        for i in view_ids:
+            if not cam_dict.get(f"{i}_valid", True):
+                continue
+            K = np.asarray(cam_dict[f"{i}_K"], np.float32)
+            dist = np.asarray(cam_dict.get(f"{i}_distortion",
+                                           [0, 0, 0, 0, 0]), np.float32)
+            img = imageio.imread(pose_dir / f"{i}{imgs[0].suffix}")
+            rgba, depth, K2 = process_view(img, K, dist, exts[i][:3],
+                                           verts, faces, crop_out, margin)
+            write_view(out_pose, int(i), rgba, depth)
+            cams[int(i)] = {"extrinsics": exts[i][:3], "intrinsics": K2}
+        if cams:
+            write_cameras(out_pose, cams)
+            done.append(out_pose)
+    return done
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="FaceScape raw-subject preprocessing "
+                    "(process_dataset.py equivalent)")
+    ap.add_argument("--dir-in", required=True)
+    ap.add_argument("--dir-out", required=True)
+    ap.add_argument("--crop-out", type=int, default=256)
+    ap.add_argument("--margin", type=float, default=0.1)
+    ap.add_argument("--align-json", default=None,
+                    help="optional {pose: {scale, Rt}} canonical alignment")
+    args = ap.parse_args(argv)
+    align = (json.loads(Path(args.align_json).read_text())
+             if args.align_json else None)
+    done = process_subject(args.dir_in, args.dir_out, align,
+                           args.crop_out, args.margin)
+    print(f"processed {len(done)} poses -> {args.dir_out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
