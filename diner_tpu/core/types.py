@@ -31,6 +31,11 @@ class SceneEncoding:
     # optional quad-packed latent (pack_quad): one-gather bilinear feature
     # fetch on the render hot path; None -> 4-corner gathers on `latent`
     latent_quad: jnp.ndarray = None
+    # per-channel dequantization scale when the latent (and latent_quad) are
+    # int8-quantized (PixelNeRF.latent_quant="int8"): feature = q * scale.
+    # Halves the bytes the dominant render-time gather moves through HBM;
+    # None -> latent stored at full compute precision.
+    latent_scale: jnp.ndarray = None
     feature_padding: int = struct.field(pytree_node=False, default=0)
 
     @property

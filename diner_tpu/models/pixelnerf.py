@@ -42,10 +42,18 @@ def _scale_uv_for_feature_padding(enc: SceneEncoding, uv):
 def index_latent(enc: SceneEncoding, uv):
     """(SB, NV, N, 2) -> (SB, NV, N, C), bilinear/border.
 
-    Uses the quad-packed latent (one gather) when the encoding carries it."""
+    Uses the quad-packed latent (one gather) when the encoding carries it.
+    int8-quantized latents (latent_scale set) are dequantized after the
+    bilinear combine — (sum_i w_i q_i) * scale equals the bilinear
+    interpolation of the dequantized features exactly."""
     uv = _scale_uv_for_feature_padding(enc, uv)
     if enc.latent_quad is not None:
-        return grid_sample_quad(enc.latent_quad, uv)
+        out = grid_sample_quad(enc.latent_quad, uv)
+        if enc.latent_scale is not None:
+            out = out * enc.latent_scale
+        return out
+    assert enc.latent_scale is None, \
+        "latent_quant='int8' requires quad_latent=True"
     return grid_sample(enc.latent, uv, mode="bilinear", padding_mode="border")
 
 
@@ -119,6 +127,13 @@ class PixelNeRF(nn.Module):
     # quad-pack the latent at encode time: 4x fewer render-time gathers for
     # 4x latent memory (enable for eval/serving; off keeps training memory low)
     quad_latent: bool = False
+    # "int8": symmetric per-channel quantization of the pixel-aligned
+    # feature table at encode time (q = round(f/scale), scale = max|f|/127).
+    # Halves the HBM bytes of the dominant render-time gather; dequant folds
+    # into the bilinear combine, so interpolation is exact on the quantized
+    # values (error = the <=0.8% per-channel rounding). Requires
+    # quad_latent=True. "none" keeps full precision (reference semantics).
+    latent_quant: str = "none"
     # rematerialize the field MLP on backward: trades FLOPs for activation
     # memory so large ray batches train on one chip (SURVEY.md HBM note)
     remat_field: bool = False
@@ -177,7 +192,15 @@ class PixelNeRF(nn.Module):
 
         latent = self.encoder(x.reshape(SB * NV, H, W, 3), train=train)
         latent = latent.reshape(SB, NV, *latent.shape[1:])
-        if self._dtype is not None:
+        latent_scale = None
+        if self.latent_quant == "int8":
+            assert self.quad_latent, "latent_quant='int8' requires quad_latent"
+            scale = jnp.max(jnp.abs(latent), axis=(0, 1, 2, 3)) / 127.0
+            scale = jnp.maximum(scale, 1e-12)
+            latent = jnp.clip(jnp.round(latent / scale), -127, 127
+                              ).astype(jnp.int8)
+            latent_scale = scale.astype(jnp.float32)
+        elif self._dtype is not None:
             # store the pixel-aligned features in bf16: halves the bytes the
             # render-time bilinear gathers read from HBM (the field hot path)
             latent = latent.astype(self._dtype)
@@ -189,6 +212,7 @@ class PixelNeRF(nn.Module):
                              poses=extrinsics, focal=focal, c=c,
                              latent_quad=pack_quad(latent) if self.quad_latent
                              else None,
+                             latent_scale=latent_scale,
                              feature_padding=self.encoder.feature_padding)
 
     def field(self, enc: SceneEncoding, xyz, viewdirs, epi_aux=None):

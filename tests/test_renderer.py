@@ -244,3 +244,32 @@ def test_render_rays_anchor_field_depth():
                                                  method="field"),
                         jax.random.PRNGKey(1), rays, enc, cfg_anchor)
     assert out_b["rgb"].shape == (1, 5, 3)
+
+
+def test_int8_latent_quantization():
+    """latent_quant='int8': int8 tables + per-channel dequant after the
+    bilinear combine; field output stays within quantization error of the
+    full-precision path."""
+    model, images, base = _tiny_model_and_batch()
+    K = np.zeros((1, 2, 3, 3), np.float32)
+    K[..., 0, 0] = K[..., 1, 1] = 20.0
+    K[..., 0, 2], K[..., 1, 2], K[..., 2, 2] = 10.0, 8.0, 1.0
+    xyz = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 3)) * 0.2
+    dirs = jnp.ones((1, 64, 3)) / np.sqrt(3.0)
+
+    outs = {}
+    for quant in ("none", "int8"):
+        m = model.clone(quad_latent=True, latent_quant=quant)
+        variables = m.init(jax.random.PRNGKey(0), images, base.depths,
+                           base.depth_stds, base.poses, jnp.asarray(K),
+                           xyz, dirs)
+        enc = m.apply(variables, images, base.depths, base.depth_stds,
+                      base.poses, jnp.asarray(K), method="encode")
+        if quant == "int8":
+            assert enc.latent.dtype == jnp.int8
+            assert enc.latent_quad.dtype == jnp.int8
+            assert enc.latent_scale is not None
+        outs[quant] = np.asarray(m.apply(variables, enc, xyz, dirs,
+                                         method="field"))
+    d = np.abs(outs["none"] - outs["int8"])
+    assert d.max() < 0.1, d.max()
