@@ -89,7 +89,8 @@ def build_render_cfg(conf: Dict[str, Any]) -> RenderConfig:
         eval_chunk_rays=eval_chunk_rays,
         approx_topk=bool(kw.get("approx_topk", True)),
         prior_stride=int(kw.get("prior_stride", 1)),
-        n_prior_anchors=int(kw.get("n_prior_anchors", 0)))
+        n_prior_anchors=int(kw.get("n_prior_anchors", 0)),
+        anchor_field_depth=bool(kw.get("anchor_field_depth", True)))
 
 
 def build_diner(conf: Dict[str, Any], znear: float, zfar: float) -> DINER:

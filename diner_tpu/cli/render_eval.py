@@ -119,7 +119,8 @@ def main(argv=None):
                             jnp.full((SB,), model.znear),
                             jnp.full((SB,), model.zfar))
             return render_image_sharded(
-                lambda p, d: model.apply(variables, enc, p, d, method="field"),
+                lambda p, d, aux=None: model.apply(variables, enc, p, d, aux,
+                                                   method="field"),
                 jax.random.PRNGKey(seed), rays, enc, model.render_cfg, mesh)
     else:
         def render_fn(batch, seed):

@@ -69,8 +69,8 @@ class DINER(nn.Module):
             batch["src_rgbs"], batch["src_depths"], batch["src_depth_stds"],
             batch["src_extrinsics"], batch["src_intrinsics"], train=train)
 
-    def field(self, enc, xyz, viewdirs):
-        return self.nerf.field(enc, xyz, viewdirs)
+    def field(self, enc, xyz, viewdirs, epi_aux=None):
+        return self.nerf.field(enc, xyz, viewdirs, epi_aux)
 
     def _select_pixels(self, rng, batch, SB: int, H: int, W: int):
         """(SB, n_rays) flat pixel indices into the target image."""
@@ -110,7 +110,7 @@ class DINER(nn.Module):
         gt = jnp.take_along_axis(batch["target_rgb"].reshape(SB, H * W, 3),
                                  pix[..., None], axis=1)
 
-        out = render_rays(lambda p, d: self.nerf.field(enc, p, d),
+        out = render_rays(lambda p, d, aux=None: self.nerf.field(enc, p, d, aux),
                           k_render, rays, enc, self.render_cfg)
         pred = out["rgb"]
 
@@ -146,5 +146,5 @@ class DINER(nn.Module):
                else target_extrinsics)
         rays = gen_rays(ext, batch["target_intrinsics"], W, H,
                         jnp.full((SB,), self.znear), jnp.full((SB,), self.zfar))
-        return render_image(lambda p, d: self.nerf.field(enc, p, d),
+        return render_image(lambda p, d, aux=None: self.nerf.field(enc, p, d, aux),
                             rng, rays, enc, self.render_cfg, chunk=chunk)
