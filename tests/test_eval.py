@@ -135,3 +135,31 @@ def test_lpips_port_script_and_cli_flow(tmp_path):
     scores = evaluate_folder(vis, tmp_path / "scored", lpips_fn=lpips_fn)
     assert "lpips" in scores and np.isfinite(scores["lpips"])
     assert scores["lpips"] > 0
+
+
+def test_eval_folder_cli(tmp_path):
+    """score + compare subcommands on a synthetic prediction folder
+    (evaluate_prediction_folder.py contract)."""
+    import imageio.v2 as imageio
+
+    from diner_tpu.cli.eval_folder import main
+
+    rng = np.random.RandomState(0)
+    for run in ("runA", "runB"):
+        vis = tmp_path / run / "visualizations"
+        vis.mkdir(parents=True)
+        for i in range(3):
+            gt = (rng.rand(24, 32, 3) * 255).astype(np.uint8)
+            noise = rng.randint(-12, 12, gt.shape)
+            pred = np.clip(gt.astype(int) + noise, 0, 255).astype(np.uint8)
+            imageio.imwrite(vis / f"{i:04d}-gt.png", gt)
+            imageio.imwrite(vis / f"{i:04d}-pred.png", pred)
+        rc = main(["score", str(tmp_path / run)])
+        assert rc == 0
+        assert (tmp_path / run / "detailed_report.json").exists()
+
+    rc = main(["compare", str(tmp_path / "cmp"),
+               f"A={tmp_path/'runA'}", f"B={tmp_path/'runB'}",
+               "--n-examples", "1"])
+    assert rc == 0
+    assert any((tmp_path / "cmp").iterdir())
