@@ -273,3 +273,38 @@ def test_int8_latent_quantization():
                                          method="field"))
     d = np.abs(outs["none"] - outs["int8"])
     assert d.max() < 0.1, d.max()
+
+
+def test_render_image_sharded_with_anchors():
+    """Epipolar-anchor sampling + anchor field depth through the 8-device
+    ray-sharded renderer (shard_map + aux plumbing)."""
+    import jax
+    from diner_tpu.parallel import make_mesh, replicate
+    from diner_tpu.renderer.sharded import render_image_sharded
+    from diner_tpu.geometry import gen_rays
+
+    model, images, base = _tiny_model_and_batch()
+    K = np.zeros((1, 2, 3, 3), np.float32)
+    K[..., 0, 0] = K[..., 1, 1] = 20.0
+    K[..., 0, 2], K[..., 1, 2], K[..., 2, 2] = 10.0, 8.0, 1.0
+    xyz = jnp.zeros((1, 1, 3))
+    variables = model.init(jax.random.PRNGKey(0), images, base.depths,
+                           base.depth_stds, base.poses, jnp.asarray(K), xyz, xyz)
+    enc = model.apply(variables, images, base.depths, base.depth_stds,
+                      base.poses, jnp.asarray(K), method="encode")
+
+    mesh = make_mesh(axis_names=("data",))
+    variables = replicate(variables, mesh)
+    enc = replicate(enc, mesh)
+
+    def field_fn(pts, dirs, aux=None):
+        return model.apply(variables, enc, pts, dirs, aux, method="field")
+
+    cfg = RenderConfig(n_samples=8, n_depth_candidates=32, n_gaussian=3,
+                       n_prior_anchors=16)
+    rays = gen_rays(base.poses[:, 0], jnp.asarray(K[:, 0]), 12, 10, 1.0, 3.0)
+    rgb, depth = render_image_sharded(field_fn, jax.random.PRNGKey(1), rays,
+                                      enc, cfg, mesh, chunk=8)
+    assert rgb.shape == (1, 10, 12, 3)
+    assert not np.isnan(np.asarray(rgb)).any()
+    assert float(jnp.abs(rgb).max()) > 0
