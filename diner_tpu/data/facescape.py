@@ -179,6 +179,23 @@ class FacescapeDataset:
                 print("facescape meta generation: skipping", scan, e)
         return metas
 
+    def check_depth_existence(self):
+        """Preflight sweep over every meta's reference-view depth files
+        (src/data/facescape.py:480-497); raises with the full missing list."""
+        missing, seen = [], set()
+        for meta in self.metas:
+            scan_path = self.data_dir / meta["scan_path"]
+            src_ids = {int(s[0]) for s in meta["ref_ids"]}
+            for sid in src_ids:
+                p = scan_path / self.int_to_viewdir(sid) / self.DEPTH_FNAME
+                if p in seen:
+                    continue
+                seen.add(p)
+                if not p.exists():
+                    missing.append(p)
+        if missing:
+            raise FileNotFoundError("Missing depth files", missing)
+
     def __len__(self):
         return len(self.metas)
 

@@ -122,3 +122,15 @@ def test_facescape_mvs_adapter(fake_facescape):
     # stage scaling: stage3 intrinsics = 4x stage1
     np.testing.assert_allclose(s["proj_matrices"]["stage3"][:, 1, 0, 0],
                                4 * s["proj_matrices"]["stage1"][:, 1, 0, 0])
+
+
+def test_facescape_check_depth_existence(fake_facescape):
+    root, meta_dir = fake_facescape
+    ds = FacescapeDataset(root, stage="val", meta_dir=meta_dir,
+                          val_subjects=["001"], range_hor=45, range_vert=30,
+                          slide_range=0)
+    ds.check_depth_existence()  # all present -> no raise
+    # point at a nonexistent depth filename -> must raise with the paths
+    ds.DEPTH_FNAME = "depth_missing.png"
+    with pytest.raises(FileNotFoundError):
+        ds.check_depth_existence()
