@@ -3,6 +3,12 @@
 Behavioral reference: deps/TransMVSNet/models/module.py:24-110 (Conv2d/Conv3d/
 Deconv3d = conv + BN + ReLU) and dcn.py:43-80 (DCN offset+mask branch,
 zero-init so the op starts as a plain masked conv at weight 0.5).
+
+SyncBN note: the reference converts BN to NCCL SyncBatchNorm under DDP
+(deps/TransMVSNet/train.py:430-435). Here no special layer is needed — the
+batch axis is sharded over the mesh and BatchNorm's reductions are over the
+full logical array, so GSPMD inserts the cross-device collectives itself:
+flax BatchNorm under jit + batch sharding IS synchronized batch norm.
 """
 
 from __future__ import annotations
