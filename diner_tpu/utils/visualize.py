@@ -62,3 +62,33 @@ def save_camera_rig(extrinsics, outpath, labels=None, scale: float = 0.1):
     fig.savefig(outpath, dpi=100)
     plt.close(fig)
     return Path(outpath)
+
+
+def reproject_depth_to_csv(depth, intrinsics, extrinsics, outpath, stride=1):
+    """Backproject a metric depth map to a world-space point cloud CSV.
+
+    Behavioral reference: the `reproject_depth` debug harness
+    (src/data/facescape.py:442-478) — validate dataset geometry by dumping
+    depth as x,y,z world points loadable in any viewer.
+
+    depth: (H, W) metric; intrinsics: (3, 3); extrinsics: (4, 4) world->cam.
+    Zero-depth pixels are skipped; `stride` subsamples the pixel grid.
+    """
+    depth = np.asarray(depth)
+    K = np.asarray(intrinsics)
+    ext = np.asarray(extrinsics)
+    H, W = depth.shape
+    ys, xs = np.mgrid[0:H:stride, 0:W:stride]
+    d = depth[ys, xs]
+    keep = d > 0
+    xs, ys, d = xs[keep], ys[keep], d[keep]
+    # pixel centers -> cam rays -> cam points
+    pts_cam = np.stack([(xs + 0.5 - K[0, 2]) / K[0, 0] * d,
+                        (ys + 0.5 - K[1, 2]) / K[1, 1] * d,
+                        d], axis=-1)
+    R, t = ext[:3, :3], ext[:3, 3]
+    pts_world = (pts_cam - t) @ R  # R^T (p - t), row-vector form
+    out = Path(outpath)
+    header = "x,y,z"
+    np.savetxt(out, pts_world, delimiter=",", header=header, comments="")
+    return out

@@ -227,3 +227,19 @@ def test_general_eval_mvs_dataset(tmp_path):
     # interval scale applied
     np.testing.assert_allclose(s["depth_values"][1] - s["depth_values"][0],
                                2.5 * 1.06, rtol=1e-5)
+
+
+def test_reproject_depth_to_csv(tmp_path):
+    """Plane at depth 2 with identity pose -> all world z == 2, xy spans the
+    frustum footprint."""
+    from diner_tpu.utils.visualize import reproject_depth_to_csv
+
+    H = W = 8
+    K = np.array([[10.0, 0, W / 2], [0, 10.0, H / 2], [0, 0, 1]])
+    depth = np.full((H, W), 2.0)
+    depth[0, 0] = 0.0  # hole must be skipped
+    path = reproject_depth_to_csv(depth, K, np.eye(4), tmp_path / "pc.csv")
+    pts = np.loadtxt(path, delimiter=",", skiprows=1)
+    assert pts.shape == (H * W - 1, 3)
+    np.testing.assert_allclose(pts[:, 2], 2.0)
+    assert abs(pts[:, 0]).max() < 2.0 * (W / 2 + 0.5) / 10.0
