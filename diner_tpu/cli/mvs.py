@@ -138,8 +138,15 @@ def _train_impl(args, use_focal: bool):
     order = rng.permutation(len(ds))
     logdir = Path(args.logdir)
     logdir.mkdir(parents=True, exist_ok=True)
+    start_step = 0
+    if getattr(args, "resume", False):
+        params, stats, opt_state, start_step = _try_resume(
+            logdir / "ckpts", params, stats, opt_state)
+        if start_step:
+            print(f"resumed from step {start_step}", flush=True)
+    save_every = int(getattr(args, "save_every", 0) or 0)
     profiling = False
-    for it in range(args.max_steps):
+    for it in range(start_step, args.max_steps):
         if getattr(args, "profile", False):
             if it == 5 and not profiling:
                 jax.profiler.start_trace(str(logdir / "trace"))
@@ -158,20 +165,51 @@ def _train_impl(args, use_focal: bool):
         params, stats, opt_state, total = step(params, stats, opt_state, arrays)
         if it % args.log_every == 0:
             print(f"step {it}: loss {float(total):.4f}", flush=True)
+        if save_every and (it + 1) % save_every == 0:
+            _save_ckpt(logdir / "ckpts", params, stats, it + 1, opt_state)
     if profiling:
         jax.profiler.stop_trace()
-    _save_ckpt(logdir / "ckpts", params, stats, args.max_steps)
+    _save_ckpt(logdir / "ckpts", params, stats, args.max_steps, opt_state)
     print("done ->", logdir)
 
 
-def _save_ckpt(ckpt_dir, params, stats, step):
+def _save_ckpt(ckpt_dir, params, stats, step, opt_state=None):
+    """Reference ckpt dict is {epoch, model, optimizer} (train.py:100-104);
+    ours is {params, batch_stats[, opt_state]} keyed by step. The optimizer
+    state is saved only from the trainer so write/eval restores (which target
+    params+stats) keep working on any checkpoint."""
     import orbax.checkpoint as ocp
 
     ckpt_dir = Path(ckpt_dir).resolve()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
+    payload = {"params": params, "batch_stats": stats}
+    if opt_state is not None:
+        payload["opt_state"] = opt_state
     with ocp.CheckpointManager(str(ckpt_dir)) as mgr:
-        mgr.save(step, args=ocp.args.StandardSave(
-            {"params": params, "batch_stats": stats}), force=True)
+        if step in mgr.all_steps():  # e.g. final save right after --save-every
+            return
+        mgr.save(step, args=ocp.args.StandardSave(payload), force=True)
+
+
+def _try_resume(ckpt_dir, params, stats, opt_state):
+    """Latest-checkpoint resume (reference train.py:402-411 file scan).
+
+    Returns (params, stats, opt_state, start_step); (.., 0) when no
+    checkpoint exists yet."""
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = Path(ckpt_dir).resolve()
+    if not ckpt_dir.exists():
+        return params, stats, opt_state, 0
+    with ocp.CheckpointManager(str(ckpt_dir)) as mgr:
+        latest = mgr.latest_step()
+        if latest is None:
+            return params, stats, opt_state, 0
+        target = {"params": params, "batch_stats": stats,
+                  "opt_state": opt_state}
+        restored = mgr.restore(latest, args=ocp.args.StandardRestore(target))
+    return (restored["params"], restored["batch_stats"],
+            restored["opt_state"], int(latest))
 
 
 def cmd_write(args):
@@ -453,6 +491,11 @@ def main(argv=None):
             p.add_argument("--batch-size", type=int, default=1)
             p.add_argument("--max-steps", type=int, default=1000)
             p.add_argument("--log-every", type=int, default=20)
+            p.add_argument("--save-every", type=int, default=0,
+                           help="checkpoint every N steps (0 = end only)")
+            p.add_argument("--resume", action="store_true",
+                           help="resume from the latest checkpoint in "
+                                "<logdir>/ckpts (train.py:402-411)")
         else:
             p.add_argument("--ckpt", default=None)
             p.add_argument("--scale", type=float, default=872.0 / 0.7)

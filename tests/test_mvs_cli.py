@@ -219,3 +219,28 @@ def test_mvs_finetune_cli_runs(tmp_path):
           "--cr_base_chs", "4,4,4", "--base_channels", "4",
           "--max-steps", "2", "--batch-size", "1", "--log-every", "1"])
     assert any((logdir / "ckpts").iterdir())
+
+
+def test_mvs_train_save_every_and_resume(tmp_path):
+    """--save-every checkpoints mid-run; --resume restarts from the latest
+    step (including optimizer state) instead of step 0."""
+    from diner_tpu.cli.mvs import main
+
+    root, listfile = _bld_fixture(tmp_path)
+    logdir = tmp_path / "tr"
+    common = ["finetune", "--datapath", str(root), "--listfile", str(listfile),
+              "--logdir", str(logdir), "--ndepths", "8,8,8",
+              "--depth_inter_r", "4,2,1", "--numdepth", "16",
+              "--cr_base_chs", "4,4,4", "--base_channels", "4",
+              "--batch-size", "1", "--log-every", "1"]
+    main(common + ["--max-steps", "2", "--save-every", "1"])
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(str((logdir / "ckpts").resolve())) as mgr:
+        steps = set(mgr.all_steps())
+    assert 1 in steps and 2 in steps
+
+    # resume: runs only steps 2..3 and writes the step-3 checkpoint
+    main(common + ["--max-steps", "3", "--resume"])
+    with ocp.CheckpointManager(str((logdir / "ckpts").resolve())) as mgr:
+        assert mgr.latest_step() == 3
