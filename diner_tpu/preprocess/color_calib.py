@@ -92,3 +92,66 @@ def calibrate_cameras(vertex_colors_per_view):
             continue
         out.append(fit_affine_color_transform(stack[v][valid], mean[valid]))
     return out
+
+
+def calibrate_pose_dir(pose_dir, mesh_vertices, mesh_faces,
+                       out_name: str = "rgba_colorcalib.png"):
+    """Color-calibrate one processed pose directory in place.
+
+    Reads `view_XXXXX/rgba.png` + `cameras.json` (the facescape_pipeline
+    output layout), computes per-view mesh-vertex visibility with the
+    rasterized z-buffer, fits per-view affine transforms toward the
+    cross-view mean vertex color (calibrate_colors.py:31-262 contract), and
+    writes `view_XXXXX/rgba_colorcalib.png`. Returns {view_id: (3, 4) A}.
+    """
+    import json
+    from pathlib import Path
+
+    import imageio.v2 as imageio
+
+    pose_dir = Path(pose_dir)
+    cams = json.loads((pose_dir / "cameras.json").read_text())
+    view_ids = sorted(cams, key=int)
+    imgs, colors = {}, []
+    for i in view_ids:
+        img = np.asarray(imageio.imread(
+            pose_dir / f"view_{int(i):05d}" / "rgba.png"), np.float32) / 255.0
+        K = np.asarray(cams[i]["intrinsics"], np.float32)
+        ext = np.asarray(cams[i]["extrinsics"], np.float32)
+        H, W = img.shape[:2]
+        visible, uv = vertex_visibility(mesh_vertices, mesh_faces, K, ext, H, W)
+        colors.append(sample_vertex_colors(img[..., :3], uv, visible))
+        imgs[i] = img
+    transforms = calibrate_cameras(np.stack(colors))
+
+    out = {}
+    for i, A in zip(view_ids, transforms):
+        img = imgs[i]
+        rgb = apply_affine_color_transform(img[..., :3], A)
+        rgba = np.concatenate([np.clip(rgb, 0, 1), img[..., 3:]], axis=-1)
+        imageio.imwrite(pose_dir / f"view_{int(i):05d}" / out_name,
+                        (rgba * 255).astype(np.uint8))
+        out[i] = A
+    return out
+
+
+def main(argv=None):
+    import argparse
+
+    from diner_tpu.fusion.ply import read_ply_mesh
+
+    ap = argparse.ArgumentParser(
+        description="Per-camera affine color calibration "
+                    "(calibrate_colors.py equivalent)")
+    ap.add_argument("--pose-dir", required=True,
+                    help="processed pose dir (view_XXXXX/ + cameras.json)")
+    ap.add_argument("--mesh", required=True, help="aligned scan mesh .ply")
+    args = ap.parse_args(argv)
+    verts, faces = read_ply_mesh(args.mesh)
+    out = calibrate_pose_dir(args.pose_dir, verts, faces)
+    print(f"calibrated {len(out)} views in {args.pose_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -243,3 +243,76 @@ def test_reproject_depth_to_csv(tmp_path):
     assert pts.shape == (H * W - 1, 3)
     np.testing.assert_allclose(pts[:, 2], 2.0)
     assert abs(pts[:, 0]).max() < 2.0 * (W / 2 + 0.5) / 10.0
+
+
+def test_color_calibrate_pose_dir(tmp_path):
+    """Two views of a quad, one with an affine color cast: calibration pulls
+    both toward the cross-view mean (calibrate_colors.py behavior)."""
+    import imageio.v2 as imageio
+    import json
+
+    from diner_tpu.preprocess.color_calib import calibrate_pose_dir
+    from diner_tpu.preprocess.rasterizer import render_depth
+
+    H = W = 48
+    K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]], np.float32)
+    # dense grid mesh: enough vertices for the >=16-point affine fit
+    n = 9
+    gy, gx = np.mgrid[0:n, 0:n].astype(np.float32) / (n - 1)
+    verts = np.stack([gx * 0.8 - 0.4, gy * 0.8 - 0.4,
+                      np.ones_like(gx)], axis=-1).reshape(-1, 3)
+    faces = []
+    for r in range(n - 1):
+        for c in range(n - 1):
+            a = r * n + c
+            faces += [[a, a + 1, a + n + 1], [a, a + n + 1, a + n]]
+    faces = np.asarray(faces, np.int32)
+
+    # world-position-dependent texture so the affine fit is well-posed
+    def texture(xy):
+        u = (xy[..., 0] + 0.4) / 0.8
+        v = (xy[..., 1] + 0.4) / 0.8
+        return np.stack([0.2 + 0.6 * u, 0.5 * np.ones_like(u),
+                         0.2 + 0.6 * v], axis=-1)
+
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32) + 0.5
+    pose = tmp_path / "pose"
+    cams = {}
+    for i, cast in enumerate([(1.0, 0.0), (0.7, 0.1)]):  # scale, offset
+        ext = np.eye(4, dtype=np.float32)
+        ext[0, 3] = 0.02 * i  # slightly different viewpoint
+        depth, mask = render_depth(verts, faces, K, ext[:3], H, W)
+        # backproject pixel centers at the rendered depth -> world xy
+        wx = (xs - K[0, 2]) / K[0, 0] * depth - ext[0, 3]
+        wy = (ys - K[1, 2]) / K[1, 1] * depth
+        rgb = np.ones((H, W, 3), np.float32)
+        tex = texture(np.stack([wx, wy], axis=-1))
+        rgb[mask] = np.clip(tex[mask] * cast[0] + cast[1], 0, 1)
+        rgba = np.concatenate([rgb, mask[..., None].astype(np.float32)], -1)
+        vdir = pose / f"view_{i:05d}"
+        vdir.mkdir(parents=True)
+        imageio.imwrite(vdir / "rgba.png", (rgba * 255).astype(np.uint8))
+        cams[str(i)] = {"extrinsics": ext[:3].tolist(),
+                        "intrinsics": K.tolist()}
+    (pose / "cameras.json").write_text(json.dumps(cams))
+
+    transforms = calibrate_pose_dir(pose, verts, faces)
+    assert set(transforms) == {"0", "1"}
+
+    c0 = np.asarray(imageio.imread(pose / "view_00000" / "rgba_colorcalib.png"),
+                    np.float32)[..., :3] / 255.0
+    c1 = np.asarray(imageio.imread(pose / "view_00001" / "rgba_colorcalib.png"),
+                    np.float32)[..., :3] / 255.0
+    r0 = np.asarray(imageio.imread(pose / "view_00000" / "rgba.png"),
+                    np.float32)[..., :3] / 255.0
+    r1 = np.asarray(imageio.imread(pose / "view_00001" / "rgba.png"),
+                    np.float32)[..., :3] / 255.0
+    # compare on an eroded shared-foreground region (avoid edge/background)
+    _, m0 = render_depth(verts, faces, K, np.eye(4, dtype=np.float32)[:3], H, W)
+    interior = m0.copy()
+    for sh in (1, -1):
+        interior &= np.roll(m0, sh, 0) & np.roll(m0, sh, 1) \
+            & np.roll(np.roll(m0, sh, 0), sh, 1)
+    before = np.abs(r0[interior] - r1[interior]).mean()
+    after = np.abs(c0[interior] - c1[interior]).mean()
+    assert after < before * 0.35, (after, before)
