@@ -91,7 +91,13 @@ class ResnetFC(nn.Module):
 
         for blkid in range(self.n_blocks):
             if blkid == self.combine_layer:
-                x = jnp.mean(x, axis=combine_axis)
+                # keep the view average in the compute dtype: XLA otherwise
+                # upcasts the reduction to f32 and round-trips the whole
+                # (B, d_hidden) activation through HBM in f32 (~2% of render
+                # time); a 4-term bf16 mean loses <2 ulp
+                x = jnp.mean(x, axis=combine_axis,
+                             dtype=self.dtype if self.dtype is not None
+                             else None)
             if self.d_latent > 0 and blkid < self.combine_layer:
                 tz = nn.Dense(self.d_hidden, kernel_init=_kaiming_exact,
                               dtype=self.dtype, name=f"lin_z_{blkid}")(z)
