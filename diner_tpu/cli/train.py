@@ -26,7 +26,11 @@ if os.environ.get("JAX_PLATFORMS", "") != "cpu":
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("config")
-    ap.add_argument("--logdir", default=None)
+    ap.add_argument("--logdir", default=None,
+                    help="parent dir; a timestamped run dir is created inside")
+    ap.add_argument("--run-dir", default=None,
+                    help="exact run dir (no timestamp); use with --resume to "
+                         "continue a previous invocation")
     ap.add_argument("--max-steps", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--multihost", action="store_true",
@@ -52,8 +56,14 @@ def main(argv=None):
     from diner_tpu.train.loop import train, MetricLogger
 
     conf = load_config(args.config)
-    logdir = Path(args.logdir or conf.get("logger", {}).get("kwargs", {})
-                  .get("save_dir", "outputs/run")) / time.strftime("%Y%m%d_%H%M%S")
+    if args.run_dir:
+        # exact directory: reusable across invocations, so --resume can find
+        # <run-dir>/ckpts (the reference's trainer ckpt_path analog)
+        logdir = Path(args.run_dir)
+    else:
+        logdir = Path(args.logdir or conf.get("logger", {}).get("kwargs", {})
+                      .get("save_dir", "outputs/run")) \
+            / time.strftime("%Y%m%d_%H%M%S")
     if jax.process_index() == 0:
         logdir.mkdir(parents=True, exist_ok=True)
         shutil.copy(args.config, logdir / "config.yaml")

@@ -126,6 +126,14 @@ def test_train_resume(tmp_path):
     assert 4 in steps and 5 in steps  # resumed past the first run's 0..3
     assert int(state.step) >= 2  # optimizer stepped in the resumed run
 
+    # CLI-level resume: --run-dir reuses the exact dir so --resume finds ckpts
+    main(["configs/train_synthetic.yaml", "--run-dir", str(run),
+          "--max-steps", "8", "--resume"])
+    metrics = [json.loads(l) for l in (run / "metrics.jsonl").read_text().splitlines()]
+    steps = [m["step"] for m in metrics if "total" in m]
+    assert 7 in steps  # CLI resume continued to the new max step
+    assert steps.count(0) == 1  # and did NOT restart from step 0
+
 
 def test_render_eval_nsamples_override(synth_run, tmp_path):
     """--nsamples scales n_samples and n_gaussian (create_prediction_folder.py:44-47)."""
