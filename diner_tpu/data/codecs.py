@@ -20,21 +20,97 @@ import numpy as np
 DEPTH_SCALE_FACTOR = 1e-4  # meters per uint16 unit
 
 
-def write_depth_png(path, depth_m):
-    """Write metric depth (H, W) [m] as uint16 PNG (1e-4 m units)."""
+_PNG_NATIVE = None  # None = untried, False = unavailable, else ctypes lib
+
+
+def _png_native():
+    """C++ 16-bit grayscale PNG codec (native/png16.cpp): the depth-prior IO
+    hot path decodes thousands of these per epoch; a single zlib inflate +
+    tight defilter loop beats the generic imaging stack. Falls back to
+    imageio when the toolchain/library is unavailable."""
+    global _PNG_NATIVE
+    if _PNG_NATIVE is None:
+        try:
+            import ctypes
+
+            from diner_tpu.native.build import build
+
+            lib = ctypes.CDLL(str(build()))
+            lib.png16_probe.restype = ctypes.c_int
+            lib.png16_probe.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.png16_decode.restype = ctypes.c_int
+            lib.png16_decode.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint16)]
+            lib.png16_encode.restype = ctypes.c_int64
+            lib.png16_encode.argtypes = [
+                ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64]
+            _PNG_NATIVE = lib
+        except Exception:
+            _PNG_NATIVE = False
+    return _PNG_NATIVE or None
+
+
+def read_png16(path):
+    """Read a grayscale PNG (8/16-bit) -> uint16 (H, W); native fast path."""
+    import ctypes
+
+    lib = _png_native()
+    buf = Path(path).read_bytes()
+    if lib is not None:
+        w = ctypes.c_int64()
+        h = ctypes.c_int64()
+        d = ctypes.c_int64()
+        if lib.png16_probe(buf, len(buf), ctypes.byref(w), ctypes.byref(h),
+                           ctypes.byref(d)) == 0:
+            out = np.empty((h.value, w.value), np.uint16)
+            rc = lib.png16_decode(
+                buf, len(buf),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+            if rc == 0:
+                return out
     import imageio.v2 as imageio
 
+    return np.asarray(imageio.imread(Path(path))).astype(np.uint16)
+
+
+def write_png16(path, img_u16):
+    """Write uint16 (H, W) as 16-bit grayscale PNG; native fast path."""
+    import ctypes
+
+    img = np.ascontiguousarray(np.asarray(img_u16, np.uint16))
+    lib = _png_native()
+    if lib is not None and img.ndim == 2:
+        cap = img.nbytes + 64 * 1024
+        out = np.empty(cap, np.uint8)
+        n = lib.png16_encode(
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            img.shape[0], img.shape[1],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        if n > 0:
+            Path(path).write_bytes(out[:n].tobytes())
+            return
+    import imageio.v2 as imageio
+
+    imageio.imwrite(Path(path), img)
+
+
+def write_depth_png(path, depth_m):
+    """Write metric depth (H, W) [m] as uint16 PNG (1e-4 m units)."""
     q = np.clip(np.asarray(depth_m, np.float64) / DEPTH_SCALE_FACTOR,
                 0, np.iinfo(np.uint16).max)
-    imageio.imwrite(Path(path), q.astype(np.uint16))
+    write_png16(path, q.astype(np.uint16))
 
 
 def read_depth_png(path):
     """Read uint16 depth PNG -> float32 meters (0 = invalid)."""
-    import imageio.v2 as imageio
-
-    raw = np.asarray(imageio.imread(Path(path)))
-    return raw.astype(np.float32) * DEPTH_SCALE_FACTOR
+    return read_png16(path).astype(np.float32) * DEPTH_SCALE_FACTOR
 
 
 def write_pfm(path, data, scale: float = 1.0):

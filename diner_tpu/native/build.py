@@ -10,7 +10,7 @@ from pathlib import Path
 
 NATIVE_DIR = Path(__file__).resolve().parent
 LIB_PATH = NATIVE_DIR / "libdiner_native.so"
-SOURCES = [NATIVE_DIR / "ply_writer.cpp"]
+SOURCES = [NATIVE_DIR / "ply_writer.cpp", NATIVE_DIR / "png16.cpp"]
 
 
 def build(force: bool = False) -> Path:
@@ -19,7 +19,7 @@ def build(force: bool = False) -> Path:
         if LIB_PATH.stat().st_mtime >= newest_src:
             return LIB_PATH
     cmd = ["g++", "-O2", "-fPIC", "-shared", "-o", str(LIB_PATH)] + [
-        str(s) for s in SOURCES]
+        str(s) for s in SOURCES] + ["-lz"]
     subprocess.run(cmd, check=True)
     return LIB_PATH
 

@@ -212,3 +212,33 @@ def test_batch_loader_io_retry():
     assert len(batches) == 2
     vals = sorted(float(b["x"][i, 0, 0]) for b in batches for i in range(2))
     assert vals == [0.0, 1.0, 2.0, 3.0]  # the flaky sample recovered
+
+
+def test_native_png16_codec(tmp_path):
+    """C++ PNG16 codec: round-trip, imageio cross-compat both directions,
+    and all filter types decode (imageio/PIL picks adaptive filters)."""
+    import imageio.v2 as imageio
+
+    from diner_tpu.data.codecs import read_png16, write_png16, _png_native
+
+    assert _png_native() is not None, "native codec failed to build"
+    rng = np.random.RandomState(0)
+    # smooth + noisy mix so the PIL encoder exercises Sub/Up/Avg/Paeth rows
+    gy, gx = np.mgrid[0:37, 0:53]
+    img = (1000 * np.sin(gx / 9.0) * np.cos(gy / 7.0) + 5000
+           + rng.randint(0, 300, (37, 53))).astype(np.uint16)
+
+    # native write -> native read
+    write_png16(tmp_path / "a.png", img)
+    np.testing.assert_array_equal(read_png16(tmp_path / "a.png"), img)
+    # native write -> imageio read
+    np.testing.assert_array_equal(
+        np.asarray(imageio.imread(tmp_path / "a.png")), img)
+    # imageio write -> native read
+    imageio.imwrite(tmp_path / "b.png", img)
+    np.testing.assert_array_equal(read_png16(tmp_path / "b.png"), img)
+    # 8-bit grayscale widens without scaling
+    img8 = rng.randint(0, 255, (11, 13)).astype(np.uint8)
+    imageio.imwrite(tmp_path / "c.png", img8)
+    np.testing.assert_array_equal(read_png16(tmp_path / "c.png"),
+                                  img8.astype(np.uint16))
