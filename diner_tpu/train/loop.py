@@ -68,6 +68,10 @@ def save_checkpoint(ckpt_dir, state, step: int):
     ckpt_dir = Path(ckpt_dir).resolve()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     with ocp.CheckpointManager(str(ckpt_dir)) as mgr:
+        if step in mgr.all_steps():
+            # a resumed run's first periodic save can land on the step it
+            # restored from; orbax raises StepAlreadyExists on re-save
+            return
         mgr.save(step, args=ocp.args.StandardSave(
             {"params": state.params,
              "batch_stats": state.batch_stats or {},
