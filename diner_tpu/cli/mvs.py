@@ -72,17 +72,42 @@ def cmd_finetune(args):
     _train_impl(args, use_focal=True)
 
 
+def _build_mvs_dataset(args, mode: str):
+    """--dataset registry (reference find_dataset_def, datasets/__init__.py:
+    name -> module). dtu/bld consume (datapath, listfile); the
+    facescape/multiface adapters re-use the DINER metas under datapath
+    (stage 'train'/'val' per the reference's write scripts)."""
+    from diner_tpu.mvs.datasets import (BlendedMVSDataset, DTUMVSDataset,
+                                        FacescapeMVSDataset,
+                                        MultifaceMVSDataset)
+
+    import json
+
+    name = getattr(args, "dataset", "dtu")
+    extra = json.loads(getattr(args, "dataset_kwargs", None) or "{}")
+    if name == "dtu":
+        return DTUMVSDataset(args.datapath, args.listfile, mode=mode,
+                             ndepths=args.numdepth, **extra)
+    if name == "bld":
+        return BlendedMVSDataset(args.datapath, args.listfile, mode=mode,
+                                 ndepths=args.numdepth, **extra)
+    stage = "train" if mode == "train" else "val"
+    if name == "facescape":
+        return FacescapeMVSDataset(args.datapath, stage=stage,
+                                   ndepths=args.numdepth, **extra)
+    if name == "multiface":
+        return MultifaceMVSDataset(args.datapath, stage=stage,
+                                   ndepths=args.numdepth, **extra)
+    raise SystemExit(f"unknown --dataset {name!r}")
+
+
 def _train_impl(args, use_focal: bool):
     from diner_tpu.mvs import mvs_loss
     from diner_tpu.mvs.losses import mvs_loss_focal
-    from diner_tpu.mvs.datasets import DTUMVSDataset, BlendedMVSDataset
 
-    if use_focal:
-        ds = BlendedMVSDataset(args.datapath, args.listfile, mode="train",
-                               ndepths=args.numdepth)
-    else:
-        ds = DTUMVSDataset(args.datapath, args.listfile, mode="train",
-                           ndepths=args.numdepth)
+    if use_focal and getattr(args, "dataset", None) in (None, "dtu"):
+        args.dataset = "bld"  # finetune defaults to the BlendedMVS layout
+    ds = _build_mvs_dataset(args, "train")
     net = _build_net(args)
 
     sample = _collate([ds[0]])
@@ -214,11 +239,11 @@ def _try_resume(ckpt_dir, params, stats, opt_state):
 
 def cmd_write(args):
     """Write depth priors next to the dataset's GT depth paths."""
-    from diner_tpu.mvs.datasets import DTUMVSDataset
     from diner_tpu.mvs.write_prediction import write_depth_prediction
 
-    ds = DTUMVSDataset(args.datapath, args.listfile, mode="write_prediction",
-                       ndepths=args.numdepth)
+    ds = _build_mvs_dataset(args, "write_prediction")
+    if args.scale is None:
+        args.scale = 872.0 / 0.7 if args.dataset == "dtu" else 1.0
     net = _build_net(args)
 
     sample = _collate([ds[0]])
@@ -473,6 +498,14 @@ def main(argv=None):
         p = sub.add_parser(name)
         p.add_argument("--datapath", required=True)
         p.add_argument("--listfile", required=True)
+        p.add_argument("--dataset", default="dtu",
+                       choices=("dtu", "facescape", "multiface", "bld"),
+                       help="dataset adapter (reference find_dataset_def); "
+                            "facescape/multiface re-use the DINER metas "
+                            "under --datapath and ignore --listfile")
+        p.add_argument("--dataset-kwargs", default=None,
+                       help="JSON dict of extra adapter kwargs "
+                            "(e.g. '{\"val_subjects\": [\"001\"]}')")
         p.add_argument("--ndepths", default="48,32,8")
         p.add_argument("--depth_inter_r", default="4,2,1")
         p.add_argument("--numdepth", type=int, default=192)
@@ -498,7 +531,10 @@ def main(argv=None):
                                 "<logdir>/ckpts (train.py:402-411)")
         else:
             p.add_argument("--ckpt", default=None)
-            p.add_argument("--scale", type=float, default=872.0 / 0.7)
+            p.add_argument("--scale", type=float, default=None,
+                           help="depth divisor before writing; default "
+                                "872/0.7 for --dataset dtu (train.py:170), "
+                                "1.0 (metric) for the face datasets")
 
     pe = sub.add_parser("eval", help="save_scene_depth equivalent "
                                      "(test.py:136-218)")

@@ -134,3 +134,22 @@ def test_facescape_check_depth_existence(fake_facescape):
     ds.DEPTH_FNAME = "depth_missing.png"
     with pytest.raises(FileNotFoundError):
         ds.check_depth_existence()
+
+
+def test_mvs_write_facescape_cli(fake_facescape, tmp_path):
+    """`mvs write --dataset facescape` writes depth/conf priors next to the
+    GT depth files (write_to_facescape.sh contract, metric scale 1.0)."""
+    import json
+
+    from diner_tpu.cli.mvs import main
+
+    root, meta_dir = fake_facescape
+    kwargs = json.dumps({"meta_dir": str(meta_dir), "val_subjects": ["001"],
+                         "slide_range": 0})
+    main(["write", "--dataset", "facescape", "--datapath", str(root),
+          "--listfile", "unused", "--dataset-kwargs", kwargs,
+          "--ndepths", "8,8,8", "--numdepth", "16",
+          "--cr_base_chs", "4,4,4", "--base_channels", "4"])
+    written = list(root.rglob("*_TransMVSNet.png"))
+    assert written, "no depth priors written"
+    assert list(root.rglob("*_TransMVSNet_conf.png"))
