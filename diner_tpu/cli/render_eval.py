@@ -108,11 +108,13 @@ def main(argv=None):
         mesh = make_mesh(axis_names=("data",))
         variables = replicate(variables, mesh)
 
+        _encode = jax.jit(lambda v, a: model.apply(v, a,
+                                                   method="encode_batch"))
+
         def render_fn(batch, seed):
             arrays = {k: jnp.asarray(v) for k, v in batch.items()
                       if not isinstance(v, list)}
-            enc = replicate(model.apply(variables, arrays,
-                                        method="encode_batch"), mesh)
+            enc = replicate(_encode(variables, arrays), mesh)
             SB, H, W, _ = arrays["target_rgb"].shape
             rays = gen_rays(arrays["target_extrinsics"],
                             arrays["target_intrinsics"], W, H,
@@ -123,13 +125,17 @@ def main(argv=None):
                                                    method="field"),
                 jax.random.PRNGKey(seed), rays, enc, model.render_cfg, mesh)
     else:
-        def render_fn(batch, seed):
-            import jax.numpy as jnp
+        import jax.numpy as jnp
 
+        # one compiled render program — eager model.apply dispatches the
+        # whole render op-by-op (minutes per image over a remote-TPU tunnel)
+        _render = jax.jit(lambda v, a, r: model.apply(v, a, r,
+                                                      method="render_batch"))
+
+        def render_fn(batch, seed):
             arrays = {k: jnp.asarray(v) for k, v in batch.items()
                       if not isinstance(v, list)}
-            return model.apply(variables, arrays, jax.random.PRNGKey(seed),
-                               method="render_batch")
+            return _render(variables, arrays, jax.random.PRNGKey(seed))
 
     out = Path(args.out)
     lpips_fn = None

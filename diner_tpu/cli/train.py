@@ -90,6 +90,18 @@ def main(argv=None):
     n_score = int(conf.get("optimizer", {}).get("kwargs", {})
                   .get("n_samples_score_eval", 16))
 
+    # jit the val renders ONCE: an eager model.apply dispatches the whole
+    # render op-by-op (catastrophic through a remote-TPU tunnel — observed
+    # minutes per val); one compiled program renders in well under a second
+    @jax.jit
+    def _render_batch(variables, arrays, rng):
+        return model.apply(variables, arrays, rng, method="render_batch")
+
+    @jax.jit
+    def _render_sweep(variables, arrays, rng, target_ext):
+        return model.apply(variables, arrays, rng, method="render_batch",
+                           target_extrinsics=target_ext)
+
     def val_fn(state, step):
         eval_dir = logdir / f"eval_{step:06d}"
         visdir = eval_dir / "visualizations"
@@ -102,8 +114,7 @@ def main(argv=None):
             variables = {"params": state.params}
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
-            return model.apply(variables, arrays, jax.random.PRNGKey(seed),
-                               method="render_batch")
+            return _render_batch(variables, arrays, jax.random.PRNGKey(seed))
 
         create_prediction_folder(render_fn, val_set, visdir, n_samples=n_score)
         scores = evaluate_folder(visdir, eval_dir)
@@ -123,9 +134,9 @@ def main(argv=None):
                 variables = {"params": state.params}
                 if state.batch_stats is not None:
                     variables["batch_stats"] = state.batch_stats
-                return model.apply(variables, arrays, jax.random.PRNGKey(seed),
-                                   method="render_batch",
-                                   target_extrinsics=jnp.asarray(target_ext))
+                return _render_sweep(variables, arrays,
+                                     jax.random.PRNGKey(seed),
+                                     jnp.asarray(target_ext))
 
             create_cam_sweep(sweep_render, val_set, eval_dir / "cam_sweeps",
                              **sweep_kw)
