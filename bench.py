@@ -68,7 +68,8 @@ def main():
 
     rng = jax.random.PRNGKey(0)
     xyz = jnp.zeros((1, 1, 3))
-    variables = model.init(rng, batch["src_rgbs"], batch["src_depths"],
+    from diner_tpu.utils.jitinit import jit_init
+    variables = jit_init(model.init)(rng, batch["src_rgbs"], batch["src_depths"],
                            batch["src_depth_stds"], batch["src_extrinsics"],
                            batch["src_intrinsics"], xyz, xyz)
 

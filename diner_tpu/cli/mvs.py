@@ -114,8 +114,10 @@ def _train_impl(args, use_focal: bool):
     imgs = jnp.asarray(sample["imgs"])
     projs = {k: jnp.asarray(v) for k, v in sample["proj_matrices"].items()}
     dvals = jnp.asarray(sample["depth_values"])
-    variables = net.init(jax.random.PRNGKey(args.seed), imgs, projs, dvals,
-                         train=True)
+    from diner_tpu.utils.jitinit import jit_init
+
+    variables = jit_init(lambda k, i, p, d: net.init(k, i, p, d, train=True))(
+        jax.random.PRNGKey(args.seed), imgs, projs, dvals)
 
     milestones = [int(float(e) * len(ds) / args.batch_size)
                   for e in args.lrepochs.split(":")[0].split(",")]
@@ -250,7 +252,8 @@ def cmd_write(args):
     imgs = jnp.asarray(sample["imgs"])
     projs = {k: jnp.asarray(v) for k, v in sample["proj_matrices"].items()}
     dvals = jnp.asarray(sample["depth_values"])
-    variables = net.init(jax.random.PRNGKey(0), imgs, projs, dvals)
+    from diner_tpu.utils.jitinit import jit_init
+    variables = jit_init(net.init)(jax.random.PRNGKey(0), imgs, projs, dvals)
     if args.ckpt:
         import orbax.checkpoint as ocp
 
@@ -284,7 +287,8 @@ def _restore_net_variables(net, args, example):
     imgs = jnp.asarray(example["imgs"])[None]
     projs = {k: jnp.asarray(v)[None] for k, v in example["proj_matrices"].items()}
     dvals = jnp.asarray(example["depth_values"])[None]
-    variables = net.init(jax.random.PRNGKey(0), imgs, projs, dvals)
+    from diner_tpu.utils.jitinit import jit_init
+    variables = jit_init(net.init)(jax.random.PRNGKey(0), imgs, projs, dvals)
     if args.ckpt:
         import orbax.checkpoint as ocp
 

@@ -41,7 +41,9 @@ def make_optimizer(params, lr: float = 1e-4) -> optax.GradientTransformation:
 
 
 def create_train_state(model, rng, example_batch, lr: float = 1e-4) -> TrainState:
-    variables = model.init(rng, example_batch, jax.random.PRNGKey(0))
+    from diner_tpu.utils.jitinit import jit_init
+
+    variables = jit_init(model.init)(rng, example_batch, jax.random.PRNGKey(0))
     params = variables["params"]
     batch_stats = variables.get("batch_stats")
     tx = make_optimizer(params, lr)
