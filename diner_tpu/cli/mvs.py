@@ -83,7 +83,7 @@ def _build_mvs_dataset(args, mode: str):
 
     import json
 
-    name = getattr(args, "dataset", "dtu")
+    name = getattr(args, "dataset", None) or "dtu"
     extra = json.loads(getattr(args, "dataset_kwargs", None) or "{}")
     if name == "dtu":
         return DTUMVSDataset(args.datapath, args.listfile, mode=mode,
@@ -91,22 +91,45 @@ def _build_mvs_dataset(args, mode: str):
     if name == "bld":
         return BlendedMVSDataset(args.datapath, args.listfile, mode=mode,
                                  ndepths=args.numdepth, **extra)
-    stage = "train" if mode == "train" else "val"
     if name == "facescape":
-        return FacescapeMVSDataset(args.datapath, stage=stage,
+        if mode == "write_prediction":
+            # the reference writes priors over train AND val loaders
+            # (train.py:163-168): cover both subject splits
+            return _Concat([
+                FacescapeMVSDataset(args.datapath, stage=s,
+                                    ndepths=args.numdepth, **extra)
+                for s in ("train", "val")])
+        return FacescapeMVSDataset(args.datapath, stage="train",
                                    ndepths=args.numdepth, **extra)
     if name == "multiface":
+        stage = "train" if mode == "train" else "val"
         return MultifaceMVSDataset(args.datapath, stage=stage,
                                    ndepths=args.numdepth, **extra)
     raise SystemExit(f"unknown --dataset {name!r}")
+
+
+class _Concat:
+    def __init__(self, parts):
+        self.parts = [p for p in parts if len(p) > 0]
+
+    def __len__(self):
+        return sum(len(p) for p in self.parts)
+
+    def __getitem__(self, idx):
+        for p in self.parts:
+            if idx < len(p):
+                return p[idx]
+            idx -= len(p)
+        raise IndexError(idx)
 
 
 def _train_impl(args, use_focal: bool):
     from diner_tpu.mvs import mvs_loss
     from diner_tpu.mvs.losses import mvs_loss_focal
 
-    if use_focal and getattr(args, "dataset", None) in (None, "dtu"):
-        args.dataset = "bld"  # finetune defaults to the BlendedMVS layout
+    if use_focal and getattr(args, "dataset", None) is None:
+        args.dataset = "bld"  # finetune DEFAULTS to the BlendedMVS layout
+        # (an explicit --dataset choice is honored)
     ds = _build_mvs_dataset(args, "train")
     net = _build_net(args)
 
@@ -232,11 +255,37 @@ def _try_resume(ckpt_dir, params, stats, opt_state):
         latest = mgr.latest_step()
         if latest is None:
             return params, stats, opt_state, 0
-        target = {"params": params, "batch_stats": stats,
-                  "opt_state": opt_state}
-        restored = mgr.restore(latest, args=ocp.args.StandardRestore(target))
-    return (restored["params"], restored["batch_stats"],
-            restored["opt_state"], int(latest))
+        # targetless restore tolerates both checkpoint layouts
+        # ({params, batch_stats[, opt_state]}); StandardRestore with a fixed
+        # target raises on any tree mismatch in this orbax version
+        restored = mgr.restore(latest)
+        if "opt_state" in restored:
+            import jax as _jax
+
+            ref = _jax.tree.leaves(opt_state)
+            got = _jax.tree.leaves(restored["opt_state"])
+            if len(ref) == len(got):
+                opt_state = _jax.tree.unflatten(
+                    _jax.tree.structure(opt_state), got)
+            else:
+                print("resume: optimizer state layout changed; "
+                      "reinitializing it", flush=True)
+        else:
+            print("resume: checkpoint has no optimizer state; "
+                  "reinitializing it", flush=True)
+    return (restored["params"], restored["batch_stats"], opt_state,
+            int(latest))
+
+
+def _restore_params_stats(ckpt_dir, variables):
+    """Restore only params/batch_stats regardless of whether the checkpoint
+    also carries optimizer state (trainer checkpoints do; see _save_ckpt)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(str(Path(ckpt_dir).resolve())) as mgr:
+        restored = mgr.restore(mgr.latest_step())
+    return {"params": restored["params"],
+            "batch_stats": restored["batch_stats"]}
 
 
 def cmd_write(args):
@@ -245,7 +294,9 @@ def cmd_write(args):
 
     ds = _build_mvs_dataset(args, "write_prediction")
     if args.scale is None:
-        args.scale = 872.0 / 0.7 if args.dataset == "dtu" else 1.0
+        # DTU priors are divided by 872/0.7 before writing (train.py:170);
+        # the face datasets are metric
+        args.scale = 872.0 / 0.7 if (args.dataset or "dtu") == "dtu" else 1.0
     net = _build_net(args)
 
     sample = _collate([ds[0]])
@@ -255,14 +306,7 @@ def cmd_write(args):
     from diner_tpu.utils.jitinit import jit_init
     variables = jit_init(net.init)(jax.random.PRNGKey(0), imgs, projs, dvals)
     if args.ckpt:
-        import orbax.checkpoint as ocp
-
-        with ocp.CheckpointManager(str(Path(args.ckpt).resolve())) as mgr:
-            target = {"params": variables["params"],
-                      "batch_stats": variables["batch_stats"]}
-            restored = mgr.restore(mgr.latest_step(),
-                                   args=ocp.args.StandardRestore(target))
-        variables = restored
+        variables = _restore_params_stats(args.ckpt, variables)
 
     @jax.jit
     def infer(batch_imgs, batch_projs, batch_dvals):
@@ -290,13 +334,7 @@ def _restore_net_variables(net, args, example):
     from diner_tpu.utils.jitinit import jit_init
     variables = jit_init(net.init)(jax.random.PRNGKey(0), imgs, projs, dvals)
     if args.ckpt:
-        import orbax.checkpoint as ocp
-
-        with ocp.CheckpointManager(str(Path(args.ckpt).resolve())) as mgr:
-            target = {"params": variables["params"],
-                      "batch_stats": variables["batch_stats"]}
-            variables = mgr.restore(mgr.latest_step(),
-                                    args=ocp.args.StandardRestore(target))
+        variables = _restore_params_stats(args.ckpt, variables)
     return variables
 
 
@@ -502,7 +540,7 @@ def main(argv=None):
         p = sub.add_parser(name)
         p.add_argument("--datapath", required=True)
         p.add_argument("--listfile", required=True)
-        p.add_argument("--dataset", default="dtu",
+        p.add_argument("--dataset", default=None,
                        choices=("dtu", "facescape", "multiface", "bld"),
                        help="dataset adapter (reference find_dataset_def); "
                             "facescape/multiface re-use the DINER metas "

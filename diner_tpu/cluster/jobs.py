@@ -85,8 +85,11 @@ def to_condor(spec: JobSpec) -> str:
             lines.append(f'requirements = TARGET.CUDADeviceName=="{parts[2]}"')
     elif spec.accelerator:
         lines.append(f'requirements = TARGET.AcceleratorType=="{spec.accelerator}"')
-    for k, v in spec.env.items():
-        lines.append(f'environment = "{k}={v}"')
+    if spec.env:
+        # ONE environment command: condor submit commands are last-one-wins,
+        # so per-var lines would silently drop all but the final variable
+        pairs = " ".join(f"{k}={v}" for k, v in spec.env.items())
+        lines.append(f'environment = "{pairs}"')
     tag = "$(ClusterId).$(Process)" + ("_$(Item)" if spec.array_file else "")
     lines += [
         f"log_root = {spec.log_dir}/{spec.name}_{tag}",
@@ -103,15 +106,27 @@ def to_condor(spec: JobSpec) -> str:
     return "\n".join(lines) + "\n"
 
 
+def _topology_chips(topology: str) -> int:
+    """'2x4' -> 8; '4x4' -> 16. GKE requires a TPU pod to request exactly
+    the node's chip count, so the resource limit must follow the topology."""
+    chips = 1
+    for part in topology.split("x"):
+        chips *= int(part)
+    return chips
+
+
 def to_jobset(spec: JobSpec, image: str = "diner-tpu:latest",
               port: int = 8476) -> dict:
     """Render a Kubernetes JobSet manifest (as a dict; dump with yaml) for
     GKE TPU slices — the TPU-native analog of the reference's condor layer.
 
-    Multi-host jobs get `spec.num_hosts` completions with the JAX
-    distributed-init env derived from the JobSet headless service and the
-    completion index; array jobs become indexed completions over the items
-    file (mounted via a ConfigMap named <name>-items).
+    Multi-host jobs get `spec.num_hosts` indexed completions with the JAX
+    distributed-init env pointing at completion 0's pod DNS name
+    (JobSet pods are named <jobset>-<replicatedJob>-<jobIndex>-<podIndex>
+    on the jobset-named headless service). Array jobs become indexed
+    completions over the items file: each pod resolves its own item by
+    line number (JOB_COMPLETION_INDEX) from the items file, which must be
+    available inside the image/volume at the recorded path.
     """
     acc_type, _, topology = spec.accelerator.partition(":")
     node_selector = {}
@@ -120,7 +135,9 @@ def to_jobset(spec: JobSpec, image: str = "diner-tpu:latest",
         if topology:
             node_selector["cloud.google.com/gke-tpu-topology"] = topology
     env = [{"name": k, "value": str(v)} for k, v in spec.env.items()]
-    coordinator = f"{spec.name}-0.{spec.name}:{port}"
+    # pod hostname convention: <jobset>-<replicatedJob>-<jobIndex>-<podIndex>,
+    # subdomain = the JobSet's headless service (named after the JobSet)
+    coordinator = f"{spec.name}-work-0-0.{spec.name}:{port}"
     if spec.num_hosts > 1:
         env += [
             {"name": "JAX_COORDINATOR_ADDRESS", "value": coordinator},
@@ -129,17 +146,44 @@ def to_jobset(spec: JobSpec, image: str = "diner-tpu:latest",
              "valueFrom": {"fieldRef": {"fieldPath":
                  "metadata.annotations['batch.kubernetes.io/job-completion-index']"}}},
         ]
-    completions = spec.num_hosts
+
+    if spec.array_file:
+        n_items = None
+        try:
+            n_items = len([ln for ln in
+                           Path(spec.array_file).read_text().splitlines()
+                           if ln.strip()])
+        except OSError:
+            raise ValueError(
+                f"array_file {spec.array_file!r} must be readable at render "
+                "time so the JobSet completion count matches the items")
+        completions = n_items
+        # each indexed pod picks its line from the items file; {item} may be
+        # embedded in a longer path ("...RAW/{item}") so substitute in place
+        def word(c: str) -> str:
+            if "{item}" not in c:
+                return shlex.quote(c)
+            return '"' + (c.replace("\\", "\\\\").replace('"', '\\"')
+                          .replace("{item}", "${ITEM}")) + '"'
+
+        item_cmd = " ".join(word(c) for c in spec.command)
+        command = ["/bin/sh", "-c",
+                   f'ITEM=$(sed -n "$((JOB_COMPLETION_INDEX+1))p" '
+                   f'{shlex.quote(spec.array_file)}) && exec {item_cmd}']
+    else:
+        completions = spec.num_hosts
+        command = list(spec.command)
+
     container = {
         "name": spec.name,
         "image": image,
-        "command": [c.replace("{item}", "$(ARRAY_ITEM)")
-                    for c in spec.command],
+        "command": command,
         "env": env,
         "resources": {"limits": {
             "cpu": str(spec.cpus),
             "memory": f"{spec.memory_mb}Mi",
-            **({"google.com/tpu": "4"} if acc_type.startswith("tpu") else {}),
+            **({"google.com/tpu": str(_topology_chips(topology))}
+               if acc_type.startswith("tpu") and topology else {}),
         }},
     }
     job_template = {
@@ -153,6 +197,7 @@ def to_jobset(spec: JobSpec, image: str = "diner-tpu:latest",
                 "spec": {
                     "nodeSelector": node_selector,
                     "restartPolicy": "Never",
+                    "subdomain": spec.name,
                     "containers": [container],
                 },
             },
@@ -161,15 +206,16 @@ def to_jobset(spec: JobSpec, image: str = "diner-tpu:latest",
     return {
         "apiVersion": "jobset.x-k8s.io/v1alpha2",
         "kind": "JobSet",
-        "metadata": {"name": spec.name},
+        "metadata": {
+            "name": spec.name,
+            **({"annotations": {"diner-tpu/array-items-file":
+                                spec.array_file}}
+               if spec.array_file else {}),
+        },
         "spec": {
             "replicatedJobs": [{"name": "work", "replicas": 1,
                                 "template": job_template}],
         },
-        # array jobs: the items file rides along as a ConfigMap the pod
-        # resolves by completion index (documented contract; the local and
-        # condor backends consume the same items file directly)
-        **({"x-array-items-file": spec.array_file} if spec.array_file else {}),
     }
 
 

@@ -33,8 +33,9 @@ SPECS = {
     "mvs-train-facescape": JobSpec(
         name="mvs-train-facescape",
         command=[PY, "-m", "diner_tpu.cli.mvs", "train",
+                 "--dataset", "facescape",
                  "--datapath", "{data}/FACESCAPE_PROCESSED",
-                 "--listfile", "assets/data_splits/facescape/train.txt",
+                 "--listfile", "unused",
                  "--logdir", "{out}/mvs_facescape"],
         cpus=16, memory_mb=80000, disk_gb=100,
         accelerator="tpu-v5-lite-podslice:2x4",
@@ -42,8 +43,9 @@ SPECS = {
     "mvs-train-multiface": JobSpec(
         name="mvs-train-multiface",
         command=[PY, "-m", "diner_tpu.cli.mvs", "train",
+                 "--dataset", "multiface",
                  "--datapath", "{data}/MULTIFACE_PROCESSED",
-                 "--listfile", "assets/data_splits/multiface/train.txt",
+                 "--listfile", "unused",
                  "--logdir", "{out}/mvs_multiface"],
         cpus=16, memory_mb=80000, disk_gb=100,
         accelerator="tpu-v5-lite-podslice:2x4",
@@ -51,18 +53,20 @@ SPECS = {
     "mvs-write-facescape": JobSpec(
         name="mvs-write-facescape",
         command=[PY, "-m", "diner_tpu.cli.mvs", "write",
+                 "--dataset", "facescape",
                  "--datapath", "{data}/FACESCAPE_PROCESSED",
-                 "--listfile", "assets/data_splits/facescape/all.txt",
-                 "--ckpt", "{out}/mvs_facescape/ckpt"],
+                 "--listfile", "unused",
+                 "--ckpt", "{out}/mvs_facescape/ckpts"],
         cpus=7, memory_mb=70000, disk_gb=100,
         accelerator="tpu-v5-lite-podslice:2x4",
     ),
     "mvs-write-multiface": JobSpec(
         name="mvs-write-multiface",
         command=[PY, "-m", "diner_tpu.cli.mvs", "write",
+                 "--dataset", "multiface",
                  "--datapath", "{data}/MULTIFACE_PROCESSED",
-                 "--listfile", "assets/data_splits/multiface/all.txt",
-                 "--ckpt", "{out}/mvs_multiface/ckpt"],
+                 "--listfile", "unused",
+                 "--ckpt", "{out}/mvs_multiface/ckpts"],
         cpus=7, memory_mb=70000, disk_gb=100,
         accelerator="tpu-v5-lite-podslice:2x4",
     ),

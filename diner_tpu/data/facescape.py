@@ -180,19 +180,23 @@ class FacescapeDataset:
         return metas
 
     def check_depth_existence(self):
-        """Preflight sweep over every meta's reference-view depth files
-        (src/data/facescape.py:480-497); raises with the full missing list."""
+        """Preflight sweep over every meta's reference-view depth AND
+        depth-std files (src/data/facescape.py:480-497); raises with the
+        full missing list. Checks every candidate id of each ref row, since
+        random_ref_views can pick any of them at load time."""
         missing, seen = [], set()
         for meta in self.metas:
             scan_path = self.data_dir / meta["scan_path"]
-            src_ids = {int(s[0]) for s in meta["ref_ids"]}
+            src_ids = {int(i) for row in meta["ref_ids"] for i in row}
             for sid in src_ids:
-                p = scan_path / self.int_to_viewdir(sid) / self.DEPTH_FNAME
-                if p in seen:
-                    continue
-                seen.add(p)
-                if not p.exists():
-                    missing.append(p)
+                vdir = scan_path / self.int_to_viewdir(sid)
+                for fname in (self.DEPTH_FNAME, self.DEPTH_STD_FNAME):
+                    p = vdir / fname
+                    if p in seen:
+                        continue
+                    seen.add(p)
+                    if not p.exists():
+                        missing.append(p)
         if missing:
             raise FileNotFoundError("Missing depth files", missing)
 

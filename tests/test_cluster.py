@@ -37,12 +37,38 @@ def test_jobset_multihost_env():
     tmpl = manifest["spec"]["replicatedJobs"][0]["template"]["spec"]
     assert tmpl["completions"] == 4
     pod = tmpl["template"]["spec"]
+    assert pod["subdomain"] == "diner-train-dtu-multihost"
     sel = pod["nodeSelector"]
     assert sel["cloud.google.com/gke-tpu-accelerator"] == "tpu-v5-lite-podslice"
     assert sel["cloud.google.com/gke-tpu-topology"] == "4x4"
-    env = {e["name"] for e in pod["containers"][0]["env"]}
+    cont = pod["containers"][0]
+    env = {e["name"]: e.get("value") for e in cont["env"]}
     assert {"JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
-            "JAX_PROCESS_ID"} <= env
+            "JAX_PROCESS_ID"} <= set(env)
+    # coordinator follows the JobSet pod DNS convention
+    # <jobset>-<replicatedJob>-<jobIndex>-<podIndex>.<jobset-subdomain>
+    assert env["JAX_COORDINATOR_ADDRESS"].startswith(
+        "diner-train-dtu-multihost-work-0-0.diner-train-dtu-multihost:")
+    # TPU chip request matches the topology (4x4 -> 16)
+    assert cont["resources"]["limits"]["google.com/tpu"] == "16"
+
+
+def test_jobset_array_fanout():
+    manifest = to_jobset(SPECS["facescape-preprocess"])
+    tmpl = manifest["spec"]["replicatedJobs"][0]["template"]["spec"]
+    assert tmpl["completions"] == 359      # one per subjects.txt line
+    assert tmpl["parallelism"] == 10       # spec concurrency cap
+    cmd = tmpl["template"]["spec"]["containers"][0]["command"]
+    assert cmd[0] == "/bin/sh"
+    assert "JOB_COMPLETION_INDEX" in cmd[2]   # per-pod item resolution
+    assert "${ITEM}" in cmd[2]                # embedded-path substitution
+
+
+def test_condor_env_single_line():
+    spec = JobSpec(name="envjob", command=["run"], env={"A": "1", "B": "2"})
+    sub = to_condor(spec)
+    env_lines = [l for l in sub.splitlines() if l.startswith("environment")]
+    assert env_lines == ['environment = "A=1 B=2"']
 
 
 def test_run_local_array_concurrency_and_retries(tmp_path):

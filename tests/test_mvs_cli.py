@@ -244,3 +244,9 @@ def test_mvs_train_save_every_and_resume(tmp_path):
     main(common + ["--max-steps", "3", "--resume"])
     with ocp.CheckpointManager(str((logdir / "ckpts").resolve())) as mgr:
         assert mgr.latest_step() == 3
+
+    # write/eval-style restore must tolerate the opt_state-bearing layout
+    from diner_tpu.cli.mvs import _restore_params_stats
+
+    restored = _restore_params_stats(logdir / "ckpts", None)
+    assert set(restored) == {"params", "batch_stats"}
