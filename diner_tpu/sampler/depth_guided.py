@@ -121,27 +121,6 @@ def _remap_monotone(vals, a, method: str = "take"):
                       vals.astype(jnp.bfloat16)).astype(vals.dtype)
 
 
-def chord_params(uv, n_anchors: int):
-    """Chord parameterization of per-(ray, view) epipolar segments.
-
-    uv: (SB, NV, NR, N, 2) projections of N collinear 3-D points per ray.
-    All points of one (ray, view) lie exactly on a straight segment in the
-    image (the epipolar line); the chord parameter of each point is recovered
-    exactly by projecting uv onto the chord (projections of collinear 3-D
-    points are collinear). Degenerate chords (ray through the source camera
-    center: every point projects to one spot) take the dd ~ 0 branch and map
-    to the mid anchor.
-
-    Returns (uv0 (SB,NV,NR,2), duv (SB,NV,NR,2), dd (SB,NV,NR),
-    a (SB,NV,NR,N) int32 nearest-anchor ids in [0, n_anchors)).
-    """
-    uv0 = uv[..., 0, :]                         # (SB, NV, NR, 2)
-    duv = uv[..., -1, :] - uv0                  # (SB, NV, NR, 2)
-    dd = jnp.sum(duv * duv, axis=-1)            # (SB, NV, NR)
-    a = anchor_ids(uv, uv0, duv, dd, n_anchors)
-    return uv0, duv, dd, a
-
-
 def anchor_ids(uv, uv0, duv, dd, n_anchors: int):
     """Nearest-anchor ids for points `uv` on the chord (uv0, duv, dd).
 
