@@ -10,6 +10,8 @@ diner_tpu.train.loop.restore_checkpoint for real renders.
 import sys
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
