@@ -37,10 +37,14 @@ def main(outdir="outputs/example"):
                   render_cfg=RenderConfig(n_samples=24, n_depth_candidates=256,
                                           n_gaussian=8),
                   znear=ds.znear, zfar=ds.zfar)
-    variables = model.init(jax.random.PRNGKey(0), batch, jax.random.PRNGKey(0))
+    from diner_tpu.utils.jitinit import jit_init
 
-    rgb, depth = model.apply(variables, batch, jax.random.PRNGKey(1),
-                             method="render_batch")
+    variables = jit_init(model.init)(jax.random.PRNGKey(0), batch,
+                                     jax.random.PRNGKey(0))
+
+    render = jax.jit(lambda v, b, r: model.apply(v, b, r,
+                                                 method="render_batch"))
+    rgb, depth = render(variables, batch, jax.random.PRNGKey(1))
 
     import imageio.v2 as imageio
 
