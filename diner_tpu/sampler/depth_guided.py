@@ -19,6 +19,16 @@ Pipeline per ray (all shapes static; no data-dependent control flow):
 The reference's boolean-mask scatters become jnp.where + fixed-size sorts
 (SURVEY.md §7.3); distribution parity is preserved, bit-parity of randomness
 is not required.
+
+Steps 2-3 have two implementations: the exact per-candidate gather path
+(reference semantics; also the prior_stride variant) and the epipolar-anchor
+fast path (RenderConfig.n_prior_anchors): priors are gathered at A points on
+each (ray, view)'s epipolar chord, anchor ids and cam depths come from the
+closed-form rational-linear uv(z) (a handful of per-ray scalars — no
+NV x NR x NC point pipeline), and a fused Pallas kernel
+(pallas_likelihood.py) does the one-hot remap + gated erf mass in VMEM.
+Anchor spacing stays within the reference's own +-0.5 px nearest-pixel
+quantization for chords shorter than 2A px.
 """
 
 from __future__ import annotations
