@@ -111,6 +111,11 @@ def main(argv=None):
         _encode = jax.jit(lambda v, a: model.apply(v, a,
                                                    method="encode_batch"))
 
+        # built ONCE: the sharded program caches per field_fn, so the whole
+        # eval loop compiles a single render program (enc/rays are traced)
+        def _field(enc, p, d, epi_aux=None):
+            return model.apply(variables, enc, p, d, epi_aux, method="field")
+
         def render_fn(batch, seed):
             arrays = {k: jnp.asarray(v) for k, v in batch.items()
                       if not isinstance(v, list)}
@@ -121,9 +126,8 @@ def main(argv=None):
                             jnp.full((SB,), model.znear),
                             jnp.full((SB,), model.zfar))
             return render_image_sharded(
-                lambda p, d, aux=None: model.apply(variables, enc, p, d, aux,
-                                                   method="field"),
-                jax.random.PRNGKey(seed), rays, enc, model.render_cfg, mesh)
+                _field, jax.random.PRNGKey(seed), rays, enc,
+                model.render_cfg, mesh)
     else:
         import jax.numpy as jnp
 

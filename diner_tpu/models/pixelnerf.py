@@ -91,7 +91,9 @@ def _anchor_ref_depth(epi_aux, uv):
     uvr = uv.reshape(SB, NV, NR, NS, 2)
     a = anchor_ids(uvr, epi_aux.uv0, epi_aux.duv, epi_aux.dd, A)
 
-    if jax.default_backend() == "tpu":
+    from diner_tpu.utils.jitinit import use_tpu_kernels
+
+    if use_tpu_kernels():
         from diner_tpu.sampler.pallas_remap import remap_anchors_pallas
 
         G = SB * NV * NR

@@ -22,13 +22,16 @@ from diner_tpu.renderer.composite import composite
 
 
 def _accepts_epi_aux(field_fn) -> bool:
-    """True if field_fn can take the sampler's EpiAnchors as a third arg."""
+    """True if field_fn's third parameter is explicitly the anchor aux.
+
+    Only a parameter NAMED `epi_aux` or `aux` opts in — an arbitrary
+    3-parameter callable must not have the EpiAnchors tuple silently bound
+    into an unrelated argument (e.g. a `train` flag)."""
     try:
-        params = inspect.signature(field_fn).parameters
+        params = list(inspect.signature(field_fn).parameters.values())
     except (TypeError, ValueError):
         return False
-    return (len(params) >= 3
-            or any(p.kind == p.VAR_POSITIONAL for p in params.values()))
+    return len(params) >= 3 and params[2].name in ("epi_aux", "aux")
 
 
 def render_rays(field_fn, rng, rays, enc: SceneEncoding, cfg: RenderConfig,
@@ -52,20 +55,21 @@ def render_rays(field_fn, rng, rays, enc: SceneEncoding, cfg: RenderConfig,
     return out
 
 
-def render_image(field_fn, rng, rays, enc: SceneEncoding, cfg: RenderConfig,
-                 chunk: int = 4096):
-    """Render full images with fixed-size ray chunks under one jit.
+def render_flat_chunked(field_fn, rng, flat, enc: SceneEncoding,
+                        cfg: RenderConfig, chunk: int):
+    """Sequentially render a flat ray batch in fixed-size chunks.
 
-    rays: (SB, H, W, 8) -> (rgb (SB, H, W, 3), depth (SB, H, W)).
+    flat: (SB, N, 8) -> (rgb (SB, N, 3), depth (SB, N)). N is padded to a
+    chunk multiple internally (padded rays recompute the last ray). Shared
+    by the single-chip image renderer and each shard of the multi-chip one.
     """
-    SB, H, W, _ = rays.shape
-    n = H * W
+    SB, n = flat.shape[:2]
     n_chunks = -(-n // chunk)
     n_pad = n_chunks * chunk - n
-    flat = rays.reshape(SB, n, 8)
     if n_pad:
-        flat = jnp.concatenate([flat, flat[:, -1:].repeat(n_pad, axis=1)], axis=1)
-    chunks = flat.reshape(SB, n_chunks, chunk, 8).swapaxes(0, 1)  # (C, SB, chunk, 8)
+        flat = jnp.concatenate([flat, flat[:, -1:].repeat(n_pad, axis=1)],
+                               axis=1)
+    chunks = flat.reshape(SB, n_chunks, chunk, 8).swapaxes(0, 1)
     keys = jax.random.split(rng, n_chunks)
 
     def body(args):
@@ -76,4 +80,16 @@ def render_image(field_fn, rng, rays, enc: SceneEncoding, cfg: RenderConfig,
     rgb, depth = jax.lax.map(body, (keys, chunks))  # (C, SB, chunk, ...)
     rgb = rgb.swapaxes(0, 1).reshape(SB, n_chunks * chunk, 3)[:, :n]
     depth = depth.swapaxes(0, 1).reshape(SB, n_chunks * chunk)[:, :n]
+    return rgb, depth
+
+
+def render_image(field_fn, rng, rays, enc: SceneEncoding, cfg: RenderConfig,
+                 chunk: int = 4096):
+    """Render full images with fixed-size ray chunks under one jit.
+
+    rays: (SB, H, W, 8) -> (rgb (SB, H, W, 3), depth (SB, H, W)).
+    """
+    SB, H, W, _ = rays.shape
+    rgb, depth = render_flat_chunked(field_fn, rng, rays.reshape(SB, H * W, 8),
+                                     enc, cfg, chunk)
     return rgb.reshape(SB, H, W, 3), depth.reshape(SB, H, W)

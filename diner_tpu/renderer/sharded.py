@@ -1,10 +1,17 @@
-"""Multi-chip rendering: rays sharded over the mesh `data` axis.
+"""Multi-chip rendering: rays sharded over a mesh axis.
 
 Rays are embarrassingly parallel (SURVEY.md §5.7): a full-image render shards
 the flattened ray axis across devices with shard_map — the scene encoding and
 parameters are replicated, each chip renders its ray slice with the same
 chunked pipeline, and the image is reassembled by the output sharding. No
 collectives are needed in the hot loop (the one true data-parallel case).
+
+The compiled program is cached per (field_fn, mesh, axis, cfg, chunk): the
+scene encoding and rays are TRACED arguments, so rendering many frames (or
+many scenes) with the same field_fn never recompiles. Callers must therefore
+build `field_fn` once and reuse it; its signature takes the encoding first:
+
+    field_fn(enc, pts, dirs, epi_aux=None) -> (SB, N, 4)
 """
 
 from __future__ import annotations
@@ -15,7 +22,26 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from diner_tpu.core.types import RenderConfig, SceneEncoding
-from diner_tpu.renderer.renderer import render_rays
+from diner_tpu.renderer.renderer import render_flat_chunked
+
+_PROGRAM_CACHE: dict = {}
+
+
+def _build_program(field_fn, mesh, axis: str, cfg: RenderConfig, chunk: int):
+    def local(rays_local, enc_local, key):
+        # rays_local: (SB, per_dev, 8) on this device (shard_map strips the
+        # sharded leading dim down to SB rows); per-device key decorrelates
+        # the stratified/refill randomness across shards
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+
+        def ff(pts, dirs, epi_aux=None):
+            return field_fn(enc_local, pts, dirs, epi_aux)
+
+        return render_flat_chunked(ff, key, rays_local, enc_local, cfg, chunk)
+
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=(P(axis), P(), P()),
+                             out_specs=P(axis), check_vma=False))
 
 
 def render_image_sharded(field_fn, rng, rays, enc: SceneEncoding,
@@ -23,7 +49,8 @@ def render_image_sharded(field_fn, rng, rays, enc: SceneEncoding,
                          chunk: int = 4096):
     """rays: (SB, H, W, 8) -> (rgb (SB, H, W, 3), depth (SB, H, W)).
 
-    field_fn must close over replicated (unsharded) arrays only.
+    field_fn: (enc, pts, dirs, epi_aux=None) -> (SB, N, 4); must use only
+    the encoding passed to it (plus replicated closure arrays like params).
     """
     SB, H, W, _ = rays.shape
     n_dev = mesh.shape[axis]
@@ -37,33 +64,13 @@ def render_image_sharded(field_fn, rng, rays, enc: SceneEncoding,
     flat = flat.reshape(SB, n_dev, per_dev, 8).swapaxes(0, 1)  # (D, SB, P, 8)
     flat = flat.reshape(n_dev * SB, per_dev, 8)  # leading dim sharded
 
-    n_chunks = -(-per_dev // chunk)
-    pad2 = n_chunks * chunk - per_dev
+    cache_key = (field_fn, mesh, axis, cfg, chunk)
+    fn = _PROGRAM_CACHE.get(cache_key)
+    if fn is None:
+        fn = _build_program(field_fn, mesh, axis, cfg, chunk)
+        _PROGRAM_CACHE[cache_key] = fn
 
-    def local(rays_local, enc_local, key):
-        # rays_local: (SB, per_dev, 8) on this device (shard_map strips the
-        # sharded leading dim down to SB rows)
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-        r = rays_local
-        if pad2:
-            r = jnp.concatenate([r, r[:, -1:].repeat(pad2, axis=1)], 1)
-        chunks = r.reshape(r.shape[0], n_chunks, chunk, 8).swapaxes(0, 1)
-        keys = jax.random.split(key, n_chunks)
-
-        def body(args):
-            k, rc = args
-            out = render_rays(field_fn, k, rc, enc_local, cfg)
-            return out["rgb"], out["depth"]
-
-        rgb, depth = jax.lax.map(body, (keys, chunks))
-        rgb = rgb.swapaxes(0, 1).reshape(r.shape[0], -1, 3)[:, :per_dev]
-        depth = depth.swapaxes(0, 1).reshape(r.shape[0], -1)[:, :per_dev]
-        return rgb, depth
-
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(axis), P(), P()),
-                   out_specs=P(axis), check_vma=False)
-    rgb, depth = jax.jit(fn)(flat, enc, rng)
+    rgb, depth = fn(flat, enc, rng)
     rgb = rgb.reshape(n_dev, SB, per_dev, 3).swapaxes(0, 1).reshape(SB, -1, 3)
     depth = depth.reshape(n_dev, SB, per_dev).swapaxes(0, 1).reshape(SB, -1)
     return (rgb[:, :n].reshape(SB, H, W, 3),

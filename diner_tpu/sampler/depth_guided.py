@@ -225,7 +225,9 @@ def surface_likelihoods(rays, z, enc: SceneEncoding, depth_diff_max: float,
         # direction is constant along the chord): fold it per-anchor so the
         # remap carries 3 channels [depth, std, cos] instead of 5
         acos = jnp.sum(dirs_cam[:, :, :, None, :] * anrm, axis=-1)
-        if jax.default_backend() == "tpu":
+        from diner_tpu.utils.jitinit import use_tpu_kernels
+
+        if use_tpu_kernels():
             # fused Pallas kernel: one-hot MXU remap (exact f32) + gated
             # erf-bin mass, all VMEM-resident — only (G, NC) leaves the chip
             from diner_tpu.sampler.pallas_likelihood import (
@@ -339,13 +341,20 @@ def sample_depthguided(rng, rays, enc: SceneEncoding, cfg: RenderConfig,
     z_sel = jnp.where(top_p == 0, 0.0, z_sel)  # empty slots -> refill later
 
     if cfg.n_gaussian > 0:
+        from diner_tpu.utils import weighted_mean_and_std
+
         hit = jnp.any(opaque != 0, axis=-1, keepdims=True)  # (SB, NR, 1)
-        wsum = jnp.sum(opaque, axis=-1, keepdims=True)
-        wn = opaque / jnp.where(wsum == 0, 1.0, wsum)
-        mean = jnp.sum(z_cand * wn, axis=-1, keepdims=True)
-        std = jnp.sqrt(jnp.sum((z_cand - mean) ** 2 * wn, axis=-1, keepdims=True))
+        mean, std = weighted_mean_and_std(z_cand, opaque, axis=-1,
+                                          keepdims=True)
         g = jax.random.normal(k_gauss, (*z_sel.shape[:-1], cfg.n_gaussian),
                               z_sel.dtype) * std + mean
+        # clamp into [near, far]: the reference leaves these unclamped
+        # (nerf_renderer.py:181-190), but an out-of-range draw (wide fitted
+        # std / mass near the far plane) makes composite's last delta
+        # negative -> exploding negative alpha, and a draw below `near`
+        # sorts before the z==0 empty markers, breaking fill_uniform's
+        # slot invariant. In-range draws are untouched.
+        g = jnp.clip(g, rays[..., None, 6], rays[..., None, 7])
         g = jnp.where(hit, g, 0.0)
         z_sel = jnp.concatenate([z_sel[..., : -cfg.n_gaussian], g], axis=-1)
 

@@ -107,7 +107,10 @@ class RenderServer:
         if (H, W) not in self._render:
             raise ValueError(f"size {(H, W)} not in buckets {self.buckets}")
         with self._lock:
-            enc = self._scenes[scene_id]
+            enc = self._scenes.get(scene_id)
+        if enc is None:
+            raise ValueError(
+                f"unknown scene {scene_id!r}; loaded: {self.scene_ids()}")
         rgb, depth = self._render[(H, W)](
             enc, jnp.asarray(target_extrinsics),
             jnp.asarray(target_intrinsics), jax.random.PRNGKey(seed))

@@ -148,8 +148,9 @@ def test_render_image_sharded_matches_unsharded_shapes():
     variables = replicate(variables, mesh)
     enc = replicate(enc, mesh)
 
-    def field_fn(pts, dirs):
-        return model.apply(variables, enc, pts, dirs, method="field")
+    def field_fn(enc_in, pts, dirs, epi_aux=None):
+        return model.apply(variables, enc_in, pts, dirs, epi_aux,
+                           method="field")
 
     cfg = RenderConfig(n_samples=8, n_depth_candidates=32, n_gaussian=3)
     rays = gen_rays(base.poses[:, 0], jnp.asarray(K[:, 0]), 12, 10, 1.0, 3.0)
@@ -297,8 +298,9 @@ def test_render_image_sharded_with_anchors():
     variables = replicate(variables, mesh)
     enc = replicate(enc, mesh)
 
-    def field_fn(pts, dirs, aux=None):
-        return model.apply(variables, enc, pts, dirs, aux, method="field")
+    def field_fn(enc_in, pts, dirs, epi_aux=None):
+        return model.apply(variables, enc_in, pts, dirs, epi_aux,
+                           method="field")
 
     cfg = RenderConfig(n_samples=8, n_depth_candidates=32, n_gaussian=3,
                        n_prior_anchors=16)
