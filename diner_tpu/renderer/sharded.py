@@ -24,7 +24,12 @@ from jax.sharding import PartitionSpec as P
 from diner_tpu.core.types import RenderConfig, SceneEncoding
 from diner_tpu.renderer.renderer import render_flat_chunked
 
-_PROGRAM_CACHE: dict = {}
+import weakref
+
+# field_fn is weak-keyed: programs die with the closure that owns them, so a
+# caller that (wrongly) rebuilds field_fn per frame leaks compilations into
+# jit's own cache but not here
+_PROGRAM_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _build_program(field_fn, mesh, axis: str, cfg: RenderConfig, chunk: int):
@@ -64,11 +69,12 @@ def render_image_sharded(field_fn, rng, rays, enc: SceneEncoding,
     flat = flat.reshape(SB, n_dev, per_dev, 8).swapaxes(0, 1)  # (D, SB, P, 8)
     flat = flat.reshape(n_dev * SB, per_dev, 8)  # leading dim sharded
 
-    cache_key = (field_fn, mesh, axis, cfg, chunk)
-    fn = _PROGRAM_CACHE.get(cache_key)
+    per_fn = _PROGRAM_CACHE.setdefault(field_fn, {})
+    cache_key = (mesh, axis, cfg, chunk)
+    fn = per_fn.get(cache_key)
     if fn is None:
         fn = _build_program(field_fn, mesh, axis, cfg, chunk)
-        _PROGRAM_CACHE[cache_key] = fn
+        per_fn[cache_key] = fn
 
     rgb, depth = fn(flat, enc, rng)
     rgb = rgb.reshape(n_dev, SB, per_dev, 3).swapaxes(0, 1).reshape(SB, -1, 3)
