@@ -173,14 +173,16 @@ class DTUDataset:
         return sample
 
     def check_depth_existence(self):
-        """Preflight sweep (src/data/dtu.py:421-439)."""
+        """Preflight sweep over depth AND confidence files
+        (src/data/dtu.py:421-439; __getitem__ reads both)."""
         missing = []
         for meta in self.metas:
             scan_name = self.scan_list[meta["scan_idx"]]
             for i in self.SRC_CAM_IDCS:
                 p = self._depth_path(scan_name, self.cam_ids[i])
-                if not p.exists():
-                    missing.append(p)
+                for f in (p, p.with_name(p.name.replace(".png", "_conf.png"))):
+                    if not f.exists():
+                        missing.append(f)
         if missing:
             raise FileNotFoundError("Missing depth files", missing)
 

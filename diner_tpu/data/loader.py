@@ -56,6 +56,20 @@ class BatchLoader:
         self._epoch += 1
         n_batches = len(self)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()  # set when the consumer abandons the epoch
+        error: list = []
+
+        def put(item) -> bool:
+            # bounded put that gives up when the consumer went away, so an
+            # abandoned iterator (e.g. islice over the loader) cannot leave
+            # this thread blocked forever holding its pool
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
@@ -74,19 +88,30 @@ class BatchLoader:
                                 time.sleep(0.5 * (attempt + 1))
 
                     for b in range(n_batches):
+                        if stop.is_set():
+                            return
                         chunk = idcs[b * self.batch_size:(b + 1) * self.batch_size]
                         samples = list(pool.map(fetch, chunk))
                         batch = collate(samples)
                         if self.arrays_only:
                             batch = to_device_batch(batch)
-                        q.put(batch)
+                        if not put(batch):
+                            return
+            except BaseException as e:  # surface in the consumer, don't
+                error.append(e)         # silently truncate the epoch
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    if error:
+                        raise error[0]
+                    break
+                yield item
+        finally:
+            # generator closed/GC'd mid-epoch: release the producer
+            stop.set()

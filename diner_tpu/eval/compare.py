@@ -156,7 +156,12 @@ def compare_evaluations(report_dirs, names, outdir, n_examples: int = 3):
     outdir = Path(outdir)
     os.makedirs(outdir, exist_ok=True)
     reports = [load_detailed_report(d) for d in report_dirs]
-    metrics = [k for k in reports[0][0] if k != "path"]
+    # only metrics present in EVERY report: models may have been scored
+    # with different metric sets (e.g. one with LPIPS weights, one without)
+    common = set(reports[0][0]) - {"path"}
+    for rep in reports[1:]:
+        common &= set(rep[0])
+    metrics = [k for k in reports[0][0] if k in common]
 
     _violins(reports, names, metrics, outdir, plt)
     _example_sheets(report_dirs, names, outdir, imageio, plt)

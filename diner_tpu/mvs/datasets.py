@@ -61,6 +61,28 @@ def _pyramid(img, nearest=True):
     return out
 
 
+def _read_cam_txt(path):
+    """Parse the MVSNet cam-file layout shared by every adapter
+    (reference datasets/data_io.py): extrinsics block, intrinsics block, and
+    the depth-spec tokens of line 11 (interpretation varies per dataset)."""
+    lines = [ln.rstrip() for ln in Path(path).read_text().splitlines()]
+    ext = np.fromstring(" ".join(lines[1:5]), np.float32, sep=" ").reshape(4, 4)
+    K = np.fromstring(" ".join(lines[7:10]), np.float32, sep=" ").reshape(3, 3)
+    return K, ext, lines[11].split()
+
+
+def _stage_pyramid_projs(projs):
+    """(V, 2, 4, 4) stage1 [ext, K4] stacks -> the 3-stage dict with
+    intrinsics x2 / x4 (the cascade's stage scaling, shared by all five
+    dataset adapters)."""
+    out = {"stage1": projs}
+    for name, sc in (("stage2", 2.0), ("stage3", 4.0)):
+        p = projs.copy()
+        p[:, 1, :2] *= sc
+        out[name] = p
+    return out
+
+
 @register("DTUMVSDataset")
 class DTUMVSDataset:
     """DTU for MVS training / depth-prior writing."""
@@ -84,12 +106,8 @@ class DTUMVSDataset:
         return len(self.metas)
 
     def _read_cam(self, path):
-        lines = [ln.rstrip() for ln in Path(path).read_text().splitlines()]
-        ext = np.fromstring(" ".join(lines[1:5]), dtype=np.float32, sep=" ").reshape(4, 4)
-        K = np.fromstring(" ".join(lines[7:10]), dtype=np.float32, sep=" ").reshape(3, 3)
-        depth_min = float(lines[11].split()[0])
-        depth_interval = float(lines[11].split()[1]) * self.interval_scale
-        return K, ext, depth_min, depth_interval
+        K, ext, vals = _read_cam_txt(path)
+        return K, ext, float(vals[0]), float(vals[1]) * self.interval_scale
 
     def __getitem__(self, idx):
         from PIL import Image
@@ -127,13 +145,7 @@ class DTUMVSDataset:
                                for k, v in depth_ms.items()}
 
         projs = np.stack(projs)  # (V, 2, 4, 4), intrinsics at 1/4 res
-        proj_ms = {"stage1": projs}
-        s2 = projs.copy()
-        s2[:, 1, :2] *= 2
-        proj_ms["stage2"] = s2
-        s3 = projs.copy()
-        s3[:, 1, :2] *= 4
-        proj_ms["stage3"] = s3
+        proj_ms = _stage_pyramid_projs(projs)
 
         sample = {
             "imgs": np.stack(imgs),
@@ -205,13 +217,7 @@ class FacescapeMVSDataset:
                 dpath = str(vdir / "depth.png")  # GT depth path anchor
 
         projs = np.stack(projs)
-        proj_ms = {"stage1": projs}
-        s2 = projs.copy()
-        s2[:, 1, :2] *= 2
-        proj_ms["stage2"] = s2
-        s3 = projs.copy()
-        s3[:, 1, :2] *= 4
-        proj_ms["stage3"] = s3
+        proj_ms = _stage_pyramid_projs(projs)
 
         depth_values = np.linspace(self.znear, self.zfar, self.ndepths
                                    ).astype(np.float32)
@@ -257,10 +263,7 @@ class GeneralEvalMVSDataset:
         return len(self.metas)
 
     def _read_cam(self, path):
-        lines = [ln.rstrip() for ln in Path(path).read_text().splitlines()]
-        ext = np.fromstring(" ".join(lines[1:5]), dtype=np.float32, sep=" ").reshape(4, 4)
-        K = np.fromstring(" ".join(lines[7:10]), dtype=np.float32, sep=" ").reshape(3, 3)
-        vals = lines[11].split()
+        K, ext, vals = _read_cam_txt(path)
         return K, ext, float(vals[0]), float(vals[1]) * self.interval_scale
 
     def __getitem__(self, idx):
@@ -284,13 +287,7 @@ class GeneralEvalMVSDataset:
                 depth_values = dmin + np.arange(self.ndepths,
                                                 dtype=np.float32) * dint
         projs = np.stack(projs)
-        proj_ms = {"stage1": projs}
-        s2 = projs.copy()
-        s2[:, 1, :2] *= 2
-        proj_ms["stage2"] = s2
-        s3 = projs.copy()
-        s3[:, 1, :2] *= 4
-        proj_ms["stage3"] = s3
+        proj_ms = _stage_pyramid_projs(projs)
         return {"imgs": np.stack(imgs), "proj_matrices": proj_ms,
                 "depth_values": depth_values, "view_ids": np.asarray(view_ids),
                 "scan": scan}
@@ -322,9 +319,10 @@ class MultifaceMVSDataset(FacescapeMVSDataset):
         ref_ids = list(meta["ref_ids"])
         view_ids = [ref_ids[ref_slot]] + [r for i, r in enumerate(ref_ids)
                                           if i != ref_slot]
-        # reuse the DINER loader for images/cams by borrowing its sample
-        base_idx = self.base.metas.index(meta)
-        s = self.base[base_idx]
+        # reuse the DINER loader for images/cams by borrowing its sample;
+        # metas = [(m, r) for m in base.metas for r in range(4)], so the
+        # base index is just idx // 4
+        s = self.base[idx // 4]
         order = [list(meta["ref_ids"]).index(v) for v in view_ids]
         imgs = s["src_rgbs"][order]
         exts = s["src_extrinsics"][order]
@@ -336,13 +334,7 @@ class MultifaceMVSDataset(FacescapeMVSDataset):
             K4[:2] /= 4.0
             projs.append(np.stack([e, K4]))
         projs = np.stack(projs)
-        proj_ms = {"stage1": projs}
-        s2 = projs.copy()
-        s2[:, 1, :2] *= 2
-        proj_ms["stage2"] = s2
-        s3 = projs.copy()
-        s3[:, 1, :2] *= 4
-        proj_ms["stage3"] = s3
+        proj_ms = _stage_pyramid_projs(projs)
         return {"imgs": imgs, "proj_matrices": proj_ms,
                 "depth_values": np.linspace(self.znear, self.zfar,
                                             self.ndepths).astype(np.float32),
@@ -369,9 +361,13 @@ class BlendedMVSDataset:
         self.datapath = Path(datapath)
         self.nviews = nviews
         self.ndepths = ndepths
-        scans = ([ln.strip() for ln in Path(listfile).read_text().splitlines()
-                  if ln.strip()] if isinstance(listfile, (str, Path))
-                 and Path(listfile).exists() else list(listfile))
+        if isinstance(listfile, (str, Path)):
+            # a path MUST exist — falling back to list(str) would iterate
+            # the filename character by character
+            scans = [ln.strip() for ln in Path(listfile).read_text().splitlines()
+                     if ln.strip()]
+        else:
+            scans = list(listfile)
         self.metas = []
         for scan in scans:
             pair = (self.datapath / scan / "cams" / "pair.txt"
@@ -387,14 +383,10 @@ class BlendedMVSDataset:
         return len(self.metas)
 
     def _read_cam(self, path):
-        lines = [ln.rstrip() for ln in Path(path).read_text().splitlines()]
-        ext = np.fromstring(" ".join(lines[1:5]), np.float32, sep=" ").reshape(4, 4)
-        K = np.fromstring(" ".join(lines[7:10]), np.float32, sep=" ").reshape(3, 3)
-        K[:2] /= 4.0
-        vals = lines[11].split()
+        K, ext, vals = _read_cam_txt(path)
+        K[:2] /= 4.0  # bld cams store full-res K; stage1 is quarter res
         dmin, dmax = float(vals[0]), float(vals[-1])
-        dint = (dmax - dmin) / self.ndepths
-        return K, ext, dmin, dint
+        return K, ext, dmin, (dmax - dmin) / self.ndepths
 
     def __getitem__(self, idx):
         from PIL import Image
@@ -486,10 +478,7 @@ class TnTEvalDataset:
         return len(self.metas)
 
     def _read_cam(self, path):
-        lines = [ln.rstrip() for ln in Path(path).read_text().splitlines()]
-        ext = np.fromstring(" ".join(lines[1:5]), np.float32, sep=" ").reshape(4, 4)
-        K = np.fromstring(" ".join(lines[7:10]), np.float32, sep=" ").reshape(3, 3)
-        vals = lines[11].split()
+        K, ext, vals = _read_cam_txt(path)
         dmin, dmax = float(vals[0]), float(vals[-1])
         return K, ext, dmin, (dmax - dmin) / self.ndepths
 

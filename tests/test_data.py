@@ -242,3 +242,56 @@ def test_native_png16_codec(tmp_path):
     imageio.imwrite(tmp_path / "c.png", img8)
     np.testing.assert_array_equal(read_png16(tmp_path / "c.png"),
                                   img8.astype(np.uint16))
+
+
+def test_loader_propagates_dataset_errors():
+    """A dataset exception surfaces in the consumer instead of silently
+    truncating the epoch."""
+    from diner_tpu.data.loader import BatchLoader
+
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 3:
+                raise ValueError("corrupt sample")
+            return {"x": np.zeros(2, np.float32)}
+
+    loader = BatchLoader(Bad(), batch_size=2, shuffle=False,
+                         shard_across_processes=False, arrays_only=False)
+    with pytest.raises(ValueError, match="corrupt sample"):
+        list(loader)
+
+
+def test_loader_releases_producer_on_abandon():
+    """Closing the iterator mid-epoch unblocks the producer thread."""
+    import threading
+    import time as _time
+
+    from diner_tpu.data.loader import BatchLoader
+
+    class Slow:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return {"x": np.zeros(2, np.float32)}
+
+    loader = BatchLoader(Slow(), batch_size=2, shuffle=False, prefetch=1,
+                         shard_across_processes=False, arrays_only=False)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # abandon the epoch
+    deadline = _time.time() + 5.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_bld_dataset_rejects_missing_listfile(tmp_path):
+    from diner_tpu.mvs.datasets import BlendedMVSDataset
+
+    with pytest.raises(FileNotFoundError):
+        BlendedMVSDataset(tmp_path, tmp_path / "no_such_list.txt")
