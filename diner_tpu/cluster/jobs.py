@@ -182,7 +182,10 @@ def to_jobset(spec: JobSpec, image: str = "diner-tpu:latest",
         "resources": {"limits": {
             "cpu": str(spec.cpus),
             "memory": f"{spec.memory_mb}Mi",
-            **({"google.com/tpu": str(_topology_chips(topology))}
+            # each pod runs on ONE node of the slice and must request exactly
+            # that node's chips: total topology chips / hosts
+            **({"google.com/tpu":
+                str(_topology_chips(topology) // max(spec.num_hosts, 1))}
                if acc_type.startswith("tpu") and topology else {}),
         }},
     }

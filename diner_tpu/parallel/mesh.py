@@ -39,8 +39,6 @@ def make_data_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
 
     devices = jax.devices() if devices is None else devices
     n = math.gcd(batch_size, len(devices))
-    while len(devices) % n or batch_size % n:
-        n -= 1
     return Mesh(np.asarray(devices[:n]), ("data",))
 
 

@@ -75,11 +75,16 @@ def save_checkpoint(ckpt_dir, state, step: int):
         mgr.save(step, args=ocp.args.StandardSave(
             {"params": state.params,
              "batch_stats": state.batch_stats or {},
+             "opt_state": state.opt_state,
              "step": np.asarray(step)}), force=True)
 
 
 def restore_checkpoint(ckpt_dir, state, step: Optional[int] = None):
-    """Restore params/batch_stats into `state`; returns (state, step)."""
+    """Restore params/batch_stats (and optimizer state when present) into
+    `state`; returns (state, step). Targetless restore tolerates both
+    checkpoint layouts (pre-opt_state checkpoints resume with a fresh
+    optimizer, reported on stdout)."""
+    import jax
     import orbax.checkpoint as ocp
 
     ckpt_dir = Path(ckpt_dir).resolve()
@@ -87,13 +92,23 @@ def restore_checkpoint(ckpt_dir, state, step: Optional[int] = None):
         step = mgr.latest_step() if step is None else step
         if step is None:
             return state, 0
-        target = {"params": state.params,
-                  "batch_stats": state.batch_stats or {},
-                  "step": np.asarray(0)}
-        restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
+        restored = mgr.restore(step)
+    opt_state = state.opt_state
+    if "opt_state" in restored:
+        ref = jax.tree.leaves(opt_state)
+        got = jax.tree.leaves(restored["opt_state"])
+        if len(ref) == len(got):
+            opt_state = jax.tree.unflatten(jax.tree.structure(opt_state), got)
+        else:
+            print("resume: optimizer state layout changed; reinitializing",
+                  flush=True)
+    else:
+        print("resume: checkpoint has no optimizer state; reinitializing",
+              flush=True)
     state = state.replace(
         params=restored["params"],
         batch_stats=restored["batch_stats"] or None,
+        opt_state=opt_state,
         step=int(restored["step"]))
     return state, int(restored["step"])
 
@@ -152,11 +167,29 @@ def train(model, train_batches: Iterable, logdir, *,
             last_logged = step
             t0 = time.perf_counter()
             logger.log(step, scalars)
-        if is_host0 and ckpt_every and step > 0 and step % ckpt_every == 0:
+        if ckpt_every and step > 0 and step % ckpt_every == 0:
+            # ALL processes enter the save: serializing globally-placed
+            # arrays is collective in orbax — a host-0-only save deadlocks
+            # multi-host training at the first checkpoint
             save_checkpoint(logdir / "ckpts", state, step)
         if val_every and val_fn and step > 0 and step % val_every == 0 and is_host0:
-            val_fn(state, step)
+            val_fn(_host_local_state(state), step)
 
-    if is_host0:
-        save_checkpoint(logdir / "ckpts", state, step + 1 if max_steps else 0)
+    save_checkpoint(logdir / "ckpts", state, step + 1 if max_steps else 0)
     return state
+
+
+def _host_local_state(state):
+    """A copy of `state` whose arrays are host-local (numpy), for rank-0-only
+    validation: the val renders then compile against local devices and issue
+    no cross-host collectives (which would deadlock the other ranks that
+    skip validation). Fully-replicated arrays are host-readable everywhere.
+    Single-process training returns the state unchanged."""
+    import jax
+
+    if jax.process_count() == 1:
+        return state
+    return state.replace(
+        params=jax.device_get(state.params),
+        batch_stats=(jax.device_get(state.batch_stats)
+                     if state.batch_stats is not None else None))

@@ -31,8 +31,14 @@ def make_train_step(model):
         grads, (loss_dict, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
         # NaN guard: skip the update on non-finite loss (the reference raises
         # NanError and skips the batch, deps/TransMVSNet/train.py:213-227).
+        # The WHOLE batch is discarded: gradients are zeroed AND the mutated
+        # BatchNorm running stats are rolled back — stats computed from NaN
+        # activations would otherwise poison every later forward permanently.
         finite = jnp.isfinite(loss_dict["total"])
         grads = jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads)
+        if new_stats is not None and state.batch_stats is not None:
+            new_stats = jax.tree.map(lambda n, o: jnp.where(finite, n, o),
+                                     new_stats, state.batch_stats)
         loss_dict = dict(loss_dict)
         loss_dict["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
         state = state.apply_gradients(grads=grads, batch_stats=new_stats)

@@ -49,8 +49,9 @@ def test_jobset_multihost_env():
     # <jobset>-<replicatedJob>-<jobIndex>-<podIndex>.<jobset-subdomain>
     assert env["JAX_COORDINATOR_ADDRESS"].startswith(
         "diner-train-dtu-multihost-work-0-0.diner-train-dtu-multihost:")
-    # TPU chip request matches the topology (4x4 -> 16)
-    assert cont["resources"]["limits"]["google.com/tpu"] == "16"
+    # per-POD chip request: topology total / hosts (4x4=16 chips, 4 hosts
+    # -> 4 chips per node)
+    assert cont["resources"]["limits"]["google.com/tpu"] == "4"
 
 
 def test_jobset_array_fanout():
