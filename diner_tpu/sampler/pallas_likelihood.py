@@ -53,9 +53,16 @@ def _likelihood_kernel(a_ref, vals_ref, z_ref, hs_ref, o_ref, *, tg: int,
     iota_a = jax.lax.broadcasted_iota(jnp.int32, (A, NC), 0)
     for g in range(tg):
         onehot = (iota_a == a_ref[g, :][None, :]).astype(jnp.float32)
-        # (3, A) @ (A, NC) f32 on the MXU: exactly one f32 term per candidate
-        dsc = jnp.dot(vals_ref[g], onehot,
-                      preferred_element_type=jnp.float32)  # (3, NC)
+        # (3, A) @ (A, NC) on the MXU. precision=HIGHEST is required for the
+        # selection to be exact: the MXU's default f32 path multiplies in
+        # bf16, quantizing the selected depths (~0.4%), which flips the
+        # |d - z| < ddm gate near its boundary (observed on v5e). With the
+        # multi-pass HIGHEST product and an exactly-representable 0/1
+        # operand, exactly one unrounded f32 term survives per candidate.
+        dsc = jax.lax.dot_general(
+            vals_ref[g], onehot, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)  # (3, NC)
         d, std, cos = dsc[0:1], dsc[1:2], dsc[2:3]
         z = z_ref[g, :][None, :]
         hs = hs_ref[g, 0]

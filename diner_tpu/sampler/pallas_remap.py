@@ -31,12 +31,18 @@ def _remap_kernel(a_ref, vals_ref, out_ref, *, tg: int, exact: bool):
     K = vals_ref.shape[-1]
     NC = a_ref.shape[-1]
     dot_dtype = jnp.float32 if exact else jnp.bfloat16
+    # exact mode needs the multi-pass product: the MXU's default f32 dot
+    # multiplies in bf16, rounding the selected values (~0.4%) — with
+    # HIGHEST and an exactly-representable 0/1 operand the selection is
+    # bit-exact (observed on v5e; see pallas_likelihood.py)
+    prec = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, NC), 0)
     for g in range(tg):
         onehot = (iota_k == a_ref[g, :][None, :]).astype(dot_dtype)
         vals = vals_ref[g].astype(dot_dtype)  # (C, K)
-        out_ref[g] = jnp.dot(vals, onehot,
-                             preferred_element_type=jnp.float32)
+        out_ref[g] = jax.lax.dot_general(
+            vals, onehot, (((1,), (0,)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("tg", "interpret", "exact"))
