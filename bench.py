@@ -17,21 +17,12 @@ vs_baseline = rays_per_sec / 5.0e4 — i.e. the >=10x target reads as >=10.
 from __future__ import annotations
 
 import json
-import os
-import time
 
 import jax
 
-# persistent compilation cache: the full render program takes minutes to
-# compile through this sandbox's remote-compile tunnel; cache artifacts under
-# the repo so repeat runs (e.g. the driver's) start in seconds
-if os.environ.get("JAX_PLATFORMS", "") != "cpu":
-    # persistent cache for TPU programs only: CPU AOT artifacts are
-    # machine-feature sensitive (SIGILL risk across toolchain flags)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from diner_tpu.utils.profiling import setup_compilation_cache
+
+setup_compilation_cache()
 
 import jax.numpy as jnp
 
@@ -86,26 +77,12 @@ def main():
                                                method="field"),
             rng, rays, enc, cfg, chunk=CHUNK)
 
-    import numpy as np
+    from diner_tpu.utils.profiling import benchmark
 
-    def run(i):
-        rgb, depth = render(variables, batch, jax.random.PRNGKey(i))
-        jax.block_until_ready((rgb, depth))
-        # force host readback: the axon remote tunnel pipelines one call deep,
-        # so block_until_ready alone can report the previous call's completion
-        np.asarray(rgb.ravel()[0])
-        return rgb, depth
-
-    for i in range(WARMUP):
-        run(i)
-
-    n_rays = H * W
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        run(100 + i)
-    dt = (time.perf_counter() - t0) / ITERS
-
-    rays_per_sec = n_rays / dt
+    timings = benchmark(render, variables, batch, jax.random.PRNGKey(0),
+                        warmup=WARMUP, iters=ITERS)
+    dt = timings["median_s"]
+    rays_per_sec = H * W / dt
     print(json.dumps({
         "metric": "render_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),

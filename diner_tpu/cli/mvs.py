@@ -171,7 +171,13 @@ def _train_impl(args, use_focal: bool):
             msk = {k: jnp.asarray(v) for k, v in batch["mask"].items()}
             dlossw = tuple(float(x) for x in args.dlossw.split(","))
             if use_focal:
-                dint = jnp.asarray(batch["depth_interval"])[:, None, None]
+                if "depth_interval" in batch:
+                    dint = jnp.asarray(batch["depth_interval"])[:, None, None]
+                else:
+                    # datasets without an explicit interval (e.g. --dataset
+                    # dtu under finetune): derive it from the hypothesis grid
+                    dv = jnp.asarray(batch["depth_values"])
+                    dint = (dv[:, 1] - dv[:, 0])[:, None, None]
                 total, aux = mvs_loss_focal(out, gt, msk, dint, dlossw=dlossw)
             else:
                 total, aux = mvs_loss(out, gt, msk, dlossw=dlossw)

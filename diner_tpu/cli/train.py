@@ -15,12 +15,9 @@ from pathlib import Path
 
 import jax
 
-if os.environ.get("JAX_PLATFORMS", "") != "cpu":
-    # persistent cache for TPU programs only: CPU AOT artifacts are
-    # machine-feature sensitive (SIGILL risk across toolchain flags)
-    jax.config.update("jax_compilation_cache_dir",
-                      str(Path(__file__).resolve().parents[2] / ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from diner_tpu.utils.profiling import setup_compilation_cache
+
+setup_compilation_cache()
 
 
 def main(argv=None):

@@ -203,9 +203,10 @@ class FacescapeMVSDataset:
 
         imgs, projs = [], []
         dpath = None
+        depth_ms = mask_ms = None
         for i, vid in enumerate(view_ids):
             vdir = scan_path / self.base.int_to_viewdir(int(vid))
-            rgb, _ = _read_rgba(vdir / self.base.RGBA_FNAME)
+            rgb, alpha = _read_rgba(vdir / self.base.RGBA_FNAME)
             imgs.append(rgb)
             ext = _to_h(cam_dict[vid]["extrinsics"])
             K = np.asarray(cam_dict[vid]["intrinsics"], np.float32)
@@ -215,13 +216,23 @@ class FacescapeMVSDataset:
             projs.append(np.stack([ext, K4]))
             if i == 0:
                 dpath = str(vdir / "depth.png")  # GT depth path anchor
+                # training GT: mesh-rendered depth + alpha mask pyramids
+                # (reference facescape.py:18,159-162; DEPTH_FNAME=depth.png)
+                if Path(dpath).exists():
+                    from diner_tpu.data.codecs import read_depth_png
+
+                    d = read_depth_png(dpath).astype(np.float32)
+                    depth_ms = _pyramid(d)
+                    a = np.asarray(alpha, np.float32).reshape(d.shape)
+                    m = ((a > 0.5) & (d > 0)).astype(np.float32)
+                    mask_ms = _pyramid(m)
 
         projs = np.stack(projs)
         proj_ms = _stage_pyramid_projs(projs)
 
         depth_values = np.linspace(self.znear, self.zfar, self.ndepths
                                    ).astype(np.float32)
-        return {
+        sample = {
             "imgs": np.stack(imgs),
             "proj_matrices": proj_ms,
             "depth_values": depth_values,
@@ -229,6 +240,10 @@ class FacescapeMVSDataset:
             "view_ids": np.asarray([int(v) for v in view_ids]),
             "scan": meta["scan_path"],
         }
+        if depth_ms is not None:
+            sample["depth"] = depth_ms
+            sample["mask"] = mask_ms
+        return sample
 
 
 @register("GeneralEvalMVSDataset")
@@ -264,7 +279,16 @@ class GeneralEvalMVSDataset:
 
     def _read_cam(self, path):
         K, ext, vals = _read_cam_txt(path)
-        return K, ext, float(vals[0]), float(vals[1]) * self.interval_scale
+        # eval cam files store FULL-resolution K; stage1 runs at quarter res
+        # (general_eval.py:71)
+        K[:2] /= 4.0
+        dmin, dint = float(vals[0]), float(vals[1])
+        if len(vals) >= 3:
+            # 3-token depth spec: [min, interval, num]; respan num*interval
+            # over self.ndepths hypotheses (general_eval.py:76-79)
+            dmax = dmin + int(float(vals[2])) * dint
+            dint = (dmax - dmin) / self.ndepths
+        return K, ext, dmin, dint * self.interval_scale
 
     def __getitem__(self, idx):
         from PIL import Image
@@ -335,11 +359,33 @@ class MultifaceMVSDataset(FacescapeMVSDataset):
             projs.append(np.stack([e, K4]))
         projs = np.stack(projs)
         proj_ms = _stage_pyramid_projs(projs)
-        return {"imgs": imgs, "proj_matrices": proj_ms,
-                "depth_values": np.linspace(self.znear, self.zfar,
-                                            self.ndepths).astype(np.float32),
-                "dpath": None, "view_ids": np.asarray([int(v) for v in view_ids]),
-                "scan": meta["scan_path"]}
+
+        # GT depth path for the MVS reference view (write_prediction writes
+        # <stem>_<suffix>.png next to it; reference multiface.py:219,290):
+        # images/<seq>/<view>/<frame>.png -> depths/... via the base mapping
+        scan_path = Path(meta["scan_path"])
+        subject = scan_path.parents[3].name
+        seq = scan_path.parents[1].name
+        frame = scan_path.stem
+        ref_img = (self.base.data_dir / subject / "images" / seq /
+                   str(view_ids[0]) / f"{frame}.png")
+        dpath = str(self.base._dpath(ref_img))
+
+        sample = {"imgs": imgs, "proj_matrices": proj_ms,
+                  "depth_values": np.linspace(self.znear, self.zfar,
+                                              self.ndepths).astype(np.float32),
+                  "dpath": dpath,
+                  "view_ids": np.asarray([int(v) for v in view_ids]),
+                  "scan": meta["scan_path"]}
+        if Path(dpath).exists():
+            # training GT pyramids (reference multiface.py:219-236)
+            d = np.asarray(self.base.read_depth(Path(dpath)), np.float32)
+            if d.ndim == 3:
+                d = d[..., 0]
+            sample["depth"] = _pyramid(d)
+            sample["mask"] = {k: (v > 0).astype(np.float32)
+                              for k, v in sample["depth"].items()}
+        return sample
 
 
 @register("BlendedMVSDataset")

@@ -51,3 +51,22 @@ def benchmark(fn, *args, warmup: int = 2, iters: int = 5):
         times.append(time.perf_counter() - t0)
     return {"min_s": min(times), "median_s": sorted(times)[len(times) // 2],
             "iters": iters}
+
+
+def setup_compilation_cache():
+    """Enable the repo-local persistent compilation cache for TPU runs.
+
+    Shared by every entry point (bench, graft entry, train CLI): full render/
+    train programs take minutes to compile through a remote-compile tunnel;
+    the cache makes repeat invocations start in seconds. CPU AOT artifacts
+    are machine-feature sensitive (SIGILL risk across toolchain flags), so
+    the cache is TPU-only.
+    """
+    import os
+    from pathlib import Path
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return
+    repo_root = Path(__file__).resolve().parents[2]
+    jax.config.update("jax_compilation_cache_dir", str(repo_root / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -50,6 +50,9 @@ def _make_fake_facescape(root, n_views=12):
         depth_m = rng.rand(32, 32) * 0.4 + 1.4  # ~head distance
         imageio.imwrite(vdir / "depth_TransMVSNet.png",
                         (depth_m / 1e-4).astype(np.uint16))
+        # GT mesh-rendered depth (MVS training target, facescape.py:18)
+        imageio.imwrite(vdir / "depth.png",
+                        (depth_m / 1e-4).astype(np.uint16))
         imageio.imwrite(vdir / "depth_TransMVSNet_conf.png",
                         (0.9 / 1e-4 * np.ones((32, 32))).astype(np.uint16))
         (scan / "3dlmks.npy").write_bytes(b"")
@@ -153,3 +156,23 @@ def test_mvs_write_facescape_cli(fake_facescape, tmp_path):
     written = list(root.rglob("*_TransMVSNet.png"))
     assert written, "no depth priors written"
     assert list(root.rglob("*_TransMVSNet_conf.png"))
+
+
+def test_mvs_train_facescape_cli(fake_facescape, tmp_path):
+    """`mvs train --dataset facescape` runs: the adapter supplies GT
+    depth/mask pyramids from depth.png (reference facescape.py:159-162)."""
+    import json
+
+    from diner_tpu.cli.mvs import main
+
+    root, meta_dir = fake_facescape
+    kwargs = json.dumps({"meta_dir": str(tmp_path / "meta"), "val_subjects": [],
+                         "slide_range": 0})
+    (tmp_path / "meta").mkdir()
+    main(["train", "--dataset", "facescape", "--datapath", str(root),
+          "--listfile", "unused", "--dataset-kwargs", kwargs,
+          "--logdir", str(tmp_path / "tr"),
+          "--ndepths", "8,8,8", "--numdepth", "16",
+          "--cr_base_chs", "4,4,4", "--base_channels", "4",
+          "--max-steps", "2", "--batch-size", "1", "--log-every", "1"])
+    assert any((tmp_path / "tr" / "ckpts").iterdir())

@@ -227,6 +227,11 @@ def test_general_eval_mvs_dataset(tmp_path):
     # interval scale applied
     np.testing.assert_allclose(s["depth_values"][1] - s["depth_values"][0],
                                2.5 * 1.06, rtol=1e-5)
+    # eval cam files store FULL-res K; stage1 must carry K/4
+    # (general_eval.py:71) and stage3 recovers full res
+    np.testing.assert_allclose(s["proj_matrices"]["stage1"][0, 1, 0, 0],
+                               40.0 / 4.0)
+    np.testing.assert_allclose(s["proj_matrices"]["stage3"][0, 1, 0, 0], 40.0)
 
 
 def test_reproject_depth_to_csv(tmp_path):
