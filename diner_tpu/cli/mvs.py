@@ -480,7 +480,9 @@ def cmd_fuse(args):
                 # 0-depth marks invalid), then XLA consensus
                 out = consensus_fusion(depths * (confs > args.conf), Ks, exts,
                                        colors=cols_in,
-                                       num_consistent=args.num_consistent)
+                                       num_consistent=args.num_consistent,
+                                       depth_thresh=args.depth_thresh,
+                                       depth_mode=args.depth_mode)
                 keep = np.asarray(out["keep"])
                 pts = np.asarray(out["points"])[keep]
                 cols = np.asarray(out["colors"])[keep]
@@ -612,6 +614,13 @@ def main(argv=None):
     pf.add_argument("--conf", type=float, default=0.5)
     pf.add_argument("--thres_view", type=int, default=3)
     pf.add_argument("--num_consistent", type=int, default=3)
+    pf.add_argument("--depth_thresh", type=float, default=0.01,
+                    help="consensus depth-agreement threshold (relative "
+                         "fraction, or disparity pixels in disparity mode)")
+    pf.add_argument("--depth_mode", default="relative",
+                    choices=("relative", "disparity"),
+                    help="consensus accept test; disparity = fusibile's "
+                         "|f*B*(1/z-1/d)| < thresh (fusibile.cu:206-209)")
 
     args = ap.parse_args(argv)
     {"train": cmd_train, "finetune": cmd_finetune, "write": cmd_write,

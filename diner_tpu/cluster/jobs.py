@@ -255,6 +255,10 @@ def run_local(spec: JobSpec, items: Sequence[str] | None = None,
                 return 0
         return rc
 
+    # duplicate array lines would race on the same log file and collapse
+    # into one result key — run each distinct item once, like condor's
+    # queue-from dedups identical procs by args
+    items = list(dict.fromkeys(items))
     workers = spec.concurrency or len(items) or 1
     with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
         results = dict(zip(items, pool.map(run_one, items)))

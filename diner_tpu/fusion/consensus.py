@@ -12,8 +12,16 @@ gather/compare/reduce over all V views at once (SURVEY.md §2.2 item 1);
 PLY serialization happens on the host (diner_tpu.fusion.ply, with a native
 C++ writer).
 
-Depth agreement here uses relative depth difference (the gipuma driver's
-fake-normal path makes the normal test trivially pass; normals are optional).
+Depth agreement supports two modes:
+  - "relative" (default): |z - d_s| / d_s < depth_thresh — scale-free, the
+    natural threshold for metric scenes;
+  - "disparity": |f_ref * B * (1/z - 1/d_s)| < depth_thresh — fusibile's
+    exact accept test (fusibile.cu:51-54,206-209: both depths converted to
+    disparity with the REF camera's fx (cameraGeometryUtils.h:400-401) and
+    the ref-src baseline ||C_r - C_s||), for parity with published fusibile
+    point clouds (depthThresh in pixels of disparity).
+(The gipuma driver's fake-normal path makes the normal test trivially pass;
+normals are optional.)
 """
 
 from __future__ import annotations
@@ -24,17 +32,21 @@ import jax.numpy as jnp
 
 def consensus_fusion(depths, intrinsics, extrinsics, colors=None, normals=None,
                      depth_thresh: float = 0.01, normal_thresh: float = 0.5,
-                     num_consistent: int = 3):
+                     num_consistent: int = 3, depth_mode: str = "relative"):
     """Fuse per-view depth maps into a consensus point set.
 
     depths: (V, H, W) metric, 0 invalid; intrinsics: (V, 3, 3);
     extrinsics: (V, 4, 4) world->cam; colors: optional (V, H, W, 3);
-    normals: optional (V, H, W, 3) cam-space.
+    normals: optional (V, H, W, 3) cam-space; depth_mode: "relative" or
+    "disparity" (fusibile parity — see module docstring; depth_thresh is
+    then in disparity pixels).
 
     Returns dict of per-reference-pixel arrays, flattened over (V, H, W):
       points (N, 3), colors (N, 3), normals (N, 3), keep (N,) bool —
     host code filters by `keep` and writes the PLY.
     """
+    if depth_mode not in ("relative", "disparity"):
+        raise ValueError(f"depth_mode must be relative|disparity, got {depth_mode!r}")
     V, H, W = depths.shape
     dtype = depths.dtype
     gx, gy = jnp.meshgrid(jnp.arange(W, dtype=dtype), jnp.arange(H, dtype=dtype))
@@ -75,9 +87,20 @@ def consensus_fusion(depths, intrinsics, extrinsics, colors=None, normals=None,
                 & (z > 0)
             idx = jv * W + ju
             d_s = depths[s].ravel()[idx]
-            rel = jnp.abs(z - d_s) / jnp.where(d_s == 0, 1.0, d_s)
+            if depth_mode == "disparity":
+                # fusibile.cu:206-209 — both depths to disparity with the
+                # ref fx and the ref-src camera-center baseline
+                f_ref = intrinsics[r, 0, 0]
+                baseline = jnp.linalg.norm(poses[r, :3, 3] - poses[s, :3, 3])
+                inv_z = 1.0 / jnp.where(z <= 0, 1.0, z)
+                inv_d = 1.0 / jnp.where(d_s <= 0, 1.0, d_s)
+                agree = jnp.abs(f_ref * baseline * (inv_z - inv_d)) \
+                    < depth_thresh
+            else:
+                rel = jnp.abs(z - d_s) / jnp.where(d_s == 0, 1.0, d_s)
+                agree = rel < depth_thresh
             n_dot = jnp.sum(world_normals[r] * world_normals[s][idx], axis=-1)
-            ok = inside & (d_s > 0) & (rel < depth_thresh) \
+            ok = inside & (d_s > 0) & agree \
                 & (n_dot > jnp.cos(normal_thresh)) & (s != r)
             # the consistent source contributes ITS 3D point for averaging
             return ok, world_pts[s][idx], world_normals[s][idx], colors[s][idx]

@@ -183,8 +183,10 @@ class FacescapeMVSDataset:
         self.base = FacescapeDataset(root, stage=stage, meta_dir=meta_dir,
                                      **facescape_kwargs)
         self.ndepths = ndepths
-        # leave-one-out: each of the 4 ref views becomes the MVS reference
-        self.metas = [(m, r) for m in self.base.metas for r in range(4)]
+        # leave-one-out: each ref view becomes the MVS reference once
+        # (robust to metas with != 4 ref rows)
+        self.metas = [(m, r) for m in self.base.metas
+                      for r in range(len(m["ref_ids"]))]
 
     def __len__(self):
         return len(self.metas)
@@ -192,6 +194,12 @@ class FacescapeMVSDataset:
     def __getitem__(self, idx):
         import json
 
+        if not self.metas:
+            raise IndexError(
+                "FacescapeMVSDataset is empty (stage="
+                f"{self.base.stage!r}, root={self.base.data_dir}); check "
+                "that depth files pass the zfar/frontal meta filters and "
+                "that the split has subjects")
         meta, ref_slot = self.metas[idx]
         ref_ids = [s[0] for s in meta["ref_ids"]]
         view_ids = [ref_ids[ref_slot]] + [r for i, r in enumerate(ref_ids)

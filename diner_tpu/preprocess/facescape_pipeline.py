@@ -129,6 +129,7 @@ def process_subject(dir_in, dir_out, align=None, crop_out: int = 256,
         cam_dict = json.loads(params.read_text())
         imgs = sorted(p for p in pose_dir.iterdir()
                       if p.suffix.lower() in (".jpg", ".jpeg", ".png"))
+        img_by_view = {p.stem: p for p in imgs}
         view_ids = [p.stem for p in imgs]
         exts = read_cam_extrinsics(cam_dict, view_ids)
         verts, faces = read_ply_mesh(mesh_ply)
@@ -139,11 +140,22 @@ def process_subject(dir_in, dir_out, align=None, crop_out: int = 256,
             s = float(a["scale"])
             verts = apply_similarity(verts, s, rt[:3, :3], rt[:3, 3])
             # cameras move with the inverse of the world alignment
-            # S(x) = s R x + t: ext' = ext o S^-1, S^-1(y) = R^T (y - t)/s
+            # S(x) = s R x + t, S^-1(y) = R^T (y - t)/s. Composing
+            # ext o S^-1 directly would bake 1/s into the rotation block
+            # (non-rigid: downstream inverts extrinsics by transpose,
+            # gen_rays geometry/rays.py:41-44). Scale the composed map by
+            # s to keep it rigid: R' = R_e R_a^T, t' = s t_e - R' t_a —
+            # cameras and rendered depths then live in aligned-world units.
             A_inv = np.eye(4, dtype=np.float32)
-            A_inv[:3, :3] = rt[:3, :3].T / s
-            A_inv[:3, 3] = -rt[:3, :3].T @ rt[:3, 3] / s
-            exts = {i: e @ A_inv for i, e in exts.items()}
+            A_inv[:3, :3] = rt[:3, :3].T
+            A_inv[:3, 3] = -rt[:3, :3].T @ rt[:3, 3]
+
+            def _compose(e):
+                e = e.copy()
+                e[:3, 3] *= s
+                return e @ A_inv
+
+            exts = {i: _compose(e) for i, e in exts.items()}
 
         out_pose = dir_out / pose
         cams = {}
@@ -153,7 +165,7 @@ def process_subject(dir_in, dir_out, align=None, crop_out: int = 256,
             K = np.asarray(cam_dict[f"{i}_K"], np.float32)
             dist = np.asarray(cam_dict.get(f"{i}_distortion",
                                            [0, 0, 0, 0, 0]), np.float32)
-            img = imageio.imread(pose_dir / f"{i}{imgs[0].suffix}")
+            img = imageio.imread(img_by_view[i])
             rgba, depth, K2 = process_view(img, K, dist, exts[i][:3],
                                            verts, faces, crop_out, margin)
             write_view(out_pose, int(i), rgba, depth)

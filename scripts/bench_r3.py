@@ -1,0 +1,79 @@
+"""Round-3 perf exploration: flagship padding-64 config, anchor vs exact,
+chunk sweep. Prints one JSON line per case."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+
+from diner_tpu.utils.profiling import setup_compilation_cache
+
+setup_compilation_cache()
+
+import jax.numpy as jnp
+
+H, W = 256, 320
+
+
+def build(padding: int, anchors: int, chunk: int, d_hidden: int = 512):
+    from diner_tpu.core.types import RenderConfig
+    from diner_tpu.data import SyntheticSphereDataset, collate, to_device_batch
+    from diner_tpu.geometry import gen_rays
+    from diner_tpu.models import PixelNeRF
+    from diner_tpu.renderer import render_image
+    from diner_tpu.utils.jitinit import jit_init
+
+    model = PixelNeRF(encoder_layers=4, encoder_norm="group",
+                      image_padding=padding, padding_pe=4,
+                      n_blocks=5, d_hidden=d_hidden, combine_layer=3,
+                      compute_dtype="bfloat16", quad_latent=True)
+    cfg = RenderConfig(n_samples=40, n_depth_candidates=1000, n_gaussian=15,
+                       n_prior_anchors=anchors)
+    ds = SyntheticSphereDataset(n_scenes=1, n_views=4, H=H, W=W)
+    batch = to_device_batch(collate([ds[0]]))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(0)
+    xyz = jnp.zeros((1, 1, 3))
+    variables = jit_init(model.init)(rng, batch["src_rgbs"], batch["src_depths"],
+                                     batch["src_depth_stds"],
+                                     batch["src_extrinsics"],
+                                     batch["src_intrinsics"], xyz, xyz)
+
+    @jax.jit
+    def render(variables, batch, rng):
+        enc = model.apply(variables, batch["src_rgbs"], batch["src_depths"],
+                          batch["src_depth_stds"], batch["src_extrinsics"],
+                          batch["src_intrinsics"], method="encode")
+        rays = gen_rays(batch["target_extrinsics"], batch["target_intrinsics"],
+                        W, H, SyntheticSphereDataset.znear,
+                        SyntheticSphereDataset.zfar)
+        return render_image(
+            lambda p, d, aux=None: model.apply(variables, enc, p, d, aux,
+                                               method="field"),
+            rng, rays, enc, cfg, chunk=chunk)
+
+    return render, variables, batch
+
+
+def run_case(name, padding, anchors, chunk, warmup=2, iters=3):
+    from diner_tpu.utils.profiling import benchmark
+
+    render, variables, batch = build(padding, anchors, chunk)
+    t = benchmark(render, variables, batch, jax.random.PRNGKey(0),
+                  warmup=warmup, iters=iters)
+    dt = t["median_s"]
+    print(json.dumps({"case": name, "padding": padding, "anchors": anchors,
+                      "chunk": chunk, "secs_per_frame": round(dt, 4),
+                      "rays_per_sec": round(H * W / dt, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cases", default="p16a64c8192,p64a64c8192,p64a0c8192")
+    args = ap.parse_args()
+    for c in args.cases.split(","):
+        p, rest = c[1:].split("a")
+        a, ch = rest.split("c")
+        run_case(c, int(p), int(a), int(ch))

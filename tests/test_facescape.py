@@ -141,12 +141,22 @@ def test_facescape_check_depth_existence(fake_facescape):
 
 def test_mvs_write_facescape_cli(fake_facescape, tmp_path):
     """`mvs write --dataset facescape` writes depth/conf priors next to the
-    GT depth files (write_to_facescape.sh contract, metric scale 1.0)."""
+    GT depth files (write_to_facescape.sh contract, metric scale 1.0).
+
+    The writer mutates the dataset tree (it overwrites depth_TransMVSNet.png
+    with untrained-net predictions), so run it on a private copy — otherwise
+    later tests regenerate metas from depths that fail the zfar/frontal
+    filters and see an empty dataset."""
     import json
+    import shutil
 
     from diner_tpu.cli.mvs import main
 
-    root, meta_dir = fake_facescape
+    shared_root, shared_meta = fake_facescape
+    root = tmp_path / "facescape"
+    shutil.copytree(shared_root, root)
+    meta_dir = tmp_path / "meta"
+    shutil.copytree(shared_meta, meta_dir)
     kwargs = json.dumps({"meta_dir": str(meta_dir), "val_subjects": ["001"],
                          "slide_range": 0})
     main(["write", "--dataset", "facescape", "--datapath", str(root),

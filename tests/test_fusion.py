@@ -78,6 +78,44 @@ def test_consensus_fusion_plane():
     np.testing.assert_allclose(cols, 0.5, atol=1e-5)
 
 
+def test_consensus_disparity_mode_matches_fusibile():
+    """Golden divergence case for the two depth-agreement formulations.
+
+    Two fronto-parallel cameras, baseline b=0.5, f=100; ref plane at z=1.0,
+    source plane at 1.02. Pure-translation rig => the ref point's src-frame
+    depth z stays 1.0, the src sample d_s is 1.02. Hand-computed accepts:
+      relative:  |1.0-1.02|/1.02            = 0.019608
+      fusibile:  f*b*|1/1.0 - 1/1.02|       = 0.980392  (fusibile.cu:51-54,
+                 disparityDepthConversion with ref fx and ||C_r - C_s||)
+    So relative mode at thresh 0.01 rejects while disparity mode at thresh
+    1.0 accepts and at thresh 0.9 rejects — bracketing the hand value."""
+    H, W = 8, 128
+    f, b = 100.0, 0.5
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    ext0 = np.eye(4, dtype=np.float32)
+    ext1 = np.eye(4, dtype=np.float32)
+    ext1[0, 3] = -b  # camera center at x=+b
+    depths = jnp.asarray(np.stack([np.full((H, W), 1.0, np.float32),
+                                   np.full((H, W), 1.02, np.float32)]))
+    Ks = jnp.asarray(np.stack([K, K]))
+    exts = jnp.asarray(np.stack([ext0, ext1]))
+
+    def keep0(**kw):
+        out = consensus_fusion(depths, Ks, exts, num_consistent=1, **kw)
+        # only ref-view-0 pixels that project inside view 1 (u shift is
+        # f*b/z = 50 px) are meaningful; count accepted ref-0 pixels
+        return np.asarray(out["keep"]).reshape(2, H, W)[0]
+
+    rel = keep0(depth_thresh=0.01, depth_mode="relative")
+    disp_accept = keep0(depth_thresh=1.0, depth_mode="disparity")
+    disp_reject = keep0(depth_thresh=0.9, depth_mode="disparity")
+    assert not rel.any()                  # 0.0196 > 0.01
+    assert disp_accept[:, 64:-8].all()    # 0.9804 < 1.0, in-bounds pixels
+    assert not disp_reject.any()          # 0.9804 > 0.9
+    # sanity: modes agree when both thresholds are generous
+    assert keep0(depth_thresh=0.05, depth_mode="relative")[:, 64:-8].all()
+
+
 def test_ply_roundtrip_native_and_python(tmp_path):
     rng = np.random.RandomState(0)
     pts = rng.randn(1000, 3).astype(np.float32)

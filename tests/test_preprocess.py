@@ -1,5 +1,7 @@
 """Preprocessing tools: rasterizer golden geometry, crop math, MVS dataset."""
 
+import json
+
 import numpy as np
 
 from diner_tpu.preprocess import render_depth, silhouette_square_crop
@@ -141,6 +143,64 @@ def test_md5_verify(tmp_path):
     assert verify_or_download([("x.bin", "http://nope", good)], tmp_path) == []
     bad = verify_or_download([("x.bin", "http://nope", "0" * 32)], tmp_path)
     assert len(bad) == 1
+
+
+def test_multiface_download_pipeline(tmp_path):
+    """End-to-end manifest download against a file:// mirror: index parse ->
+    category/expression filter -> fetch -> md5 verify -> untar -> resume
+    (deps/multiface/download_dataset.py behavior)."""
+    import tarfile
+
+    from diner_tpu.preprocess.multiface import (
+        download_entity, main, md5sum, parse_download_config, select_files)
+
+    entity = "5067077"
+    mirror = tmp_path / "mirror" / entity
+    mirror.mkdir(parents=True)
+    exp = "SEN_test_sentence"
+    # one wanted tar, one wrong-expression tar, one excluded-category tar
+    payload = mirror / "payload"
+    payload.mkdir()
+    (payload / "img.bin").write_bytes(b"image-bytes")
+    tar_names = [f"--images--{exp}--cam1.tar",
+                 "--images--SEN_other--cam1.tar",
+                 f"--unwrapped_uv--{exp}--cam1.tar"]
+    for t in tar_names:
+        with tarfile.open(mirror / t, "w") as tf:
+            tf.add(payload / "img.bin", arcname=f"{entity}{t[:-4]}/img.bin")
+    (mirror / "metadata.tar").write_bytes(b"")  # metadata bypasses exp filter
+    with tarfile.open(mirror / "metadata.tar", "w") as tf:
+        tf.add(payload / "img.bin", arcname="metadata/meta.bin")
+    chk_lines = [f"{md5sum(mirror / t)}  {t}"
+                 for t in tar_names + ["metadata.tar"]]
+    (mirror / "CHECKSUM").write_text("\n".join(chk_lines))
+    names = tar_names + ["metadata.tar", "CHECKSUM", "index.html"]
+    (mirror / "index.html").write_text(
+        "<html>" + "".join(f'<a href="{n}">{n}</a>' for n in names) + "</html>")
+
+    cfg_path = tmp_path / "download_dataset.json"
+    cfg_path.write_text(json.dumps({
+        "entity": [entity], "image": True, "mesh": True, "texture": False,
+        "metadata": True, "audio": False, "expression": [exp]}))
+    cfg = parse_download_config(cfg_path)
+    kept = select_files(names, cfg)
+    assert f"--images--{exp}--cam1.tar" in kept
+    assert "--images--SEN_other--cam1.tar" not in kept  # expression filter
+    assert f"--unwrapped_uv--{exp}--cam1.tar" not in kept  # texture off
+    assert "metadata.tar" in kept and "CHECKSUM" in kept
+
+    dest = tmp_path / "dest"
+    root = (tmp_path / "mirror").as_uri() + "/"
+    main(["--dest", str(dest), "--download-config", str(cfg_path),
+          "--root", root])
+    # untarred payloads present, tars consumed, markers left for resume
+    assert (dest / f"{entity}--images--{exp}--cam1" / "img.bin").exists()
+    assert (dest / "metadata" / "meta.bin").exists()
+    assert not list(dest.glob("*.tar"))
+    assert list(dest.glob("*.tar.unzip"))
+    # resume: second run re-fetches nothing and keeps everything
+    got, failed = download_entity(dest, entity, cfg, root=root)
+    assert failed == [] and got == []
 
 
 def test_visualize_helpers(tmp_path):
