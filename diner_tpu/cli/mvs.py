@@ -315,22 +315,59 @@ def cmd_write(args):
         variables = _restore_params_stats(args.ckpt, variables)
 
     @jax.jit
-    def infer(batch_imgs, batch_projs, batch_dvals):
+    def infer(variables, batch_imgs, batch_projs, batch_dvals):
         out = net.apply({"params": variables["params"],
                          "batch_stats": variables["batch_stats"]},
                         batch_imgs, batch_projs, batch_dvals)
         return out["depth"], out["photometric_confidence"]
 
-    for i in range(len(ds)):
+    # multi-host: each process writes its slice of the dataset — the
+    # TPU-native analog of the reference's 8-GPU condor array sharding
+    # (deps/TransMVSNet/condor_scripts/transmvsnet_train_dtu.sub)
+    from diner_tpu.parallel import process_local_slice
+
+    idxs = process_local_slice(len(ds))
+
+    if getattr(args, "data_parallel", False) and len(jax.devices()) > 1:
+        # multi-chip: batch n_devices samples per step, shard the batch
+        # axis over a `data` mesh (params replicated; GSPMD runs each
+        # sample's cascade on its own chip — inference is embarrassingly
+        # batch-parallel)
+        from diner_tpu.parallel import make_mesh, replicate, shard_batch
+
+        mesh = make_mesh(axis_names=("data",))
+        B = mesh.devices.size
+        variables = replicate(variables, mesh)
+        done = 0
+        for c0 in range(0, len(idxs), B):
+            chunk = idxs[c0:c0 + B]
+            padded = chunk + [chunk[-1]] * (B - len(chunk))
+            s = _collate([ds[i] for i in padded])
+            batch = shard_batch(
+                {"imgs": jnp.asarray(s["imgs"]),
+                 "projs": {k: jnp.asarray(v)
+                           for k, v in s["proj_matrices"].items()},
+                 "dvals": jnp.asarray(s["depth_values"])}, mesh)
+            depth, conf = infer(variables, batch["imgs"], batch["projs"],
+                                batch["dvals"])
+            depth, conf = np.asarray(depth), np.asarray(conf)
+            for j in range(len(chunk)):
+                write_depth_prediction(depth[j], conf[j], s["dpath"][j],
+                                       scale=args.scale)
+            done += len(chunk)
+            print(f"wrote {done}/{len(idxs)} (x{B} chips)", flush=True)
+        return
+
+    for n, i in enumerate(idxs):
         s = _collate([ds[i]])
         depth, conf = infer(
-            jnp.asarray(s["imgs"]),
+            variables, jnp.asarray(s["imgs"]),
             {k: jnp.asarray(v) for k, v in s["proj_matrices"].items()},
             jnp.asarray(s["depth_values"]))
         write_depth_prediction(np.asarray(depth[0]), np.asarray(conf[0]),
                                s["dpath"][0], scale=args.scale)
-        if i % 20 == 0:
-            print(f"wrote {i + 1}/{len(ds)}", flush=True)
+        if n % 20 == 0:
+            print(f"wrote {n + 1}/{len(idxs)}", flush=True)
 
 
 def _restore_net_variables(net, args, example):
@@ -364,7 +401,7 @@ def cmd_eval(args):
     variables = _restore_net_variables(net, args, ds[0])
 
     @jax.jit
-    def infer(imgs, projs, dvals):
+    def infer(variables, imgs, projs, dvals):
         out = net.apply({"params": variables["params"],
                          "batch_stats": variables["batch_stats"]},
                         imgs, projs, dvals)
@@ -376,20 +413,14 @@ def cmd_eval(args):
         return out["depth"], conf_final
 
     out_root = Path(args.outdir)
-    for i in range(len(ds)):
-        s = ds[i]
-        depth, conf = infer(
-            jnp.asarray(s["imgs"])[None],
-            {k: jnp.asarray(v)[None] for k, v in s["proj_matrices"].items()},
-            jnp.asarray(s["depth_values"])[None])
+
+    def write_one(s, depth, conf):
         ref = int(s["view_ids"][0])
         scan_dir = out_root / s["scan"]
         for sub in ("depth_est", "confidence", "cams", "images"):
             (scan_dir / sub).mkdir(parents=True, exist_ok=True)
-        write_pfm(scan_dir / "depth_est" / f"{ref:08d}.pfm",
-                  np.asarray(depth[0]))
-        write_pfm(scan_dir / "confidence" / f"{ref:08d}.pfm",
-                  np.asarray(conf[0]))
+        write_pfm(scan_dir / "depth_est" / f"{ref:08d}.pfm", depth)
+        write_pfm(scan_dir / "confidence" / f"{ref:08d}.pfm", conf)
         # stage3 cam: intrinsics at full prediction resolution
         proj = s["proj_matrices"]["stage3"][0]
         dv = s["depth_values"]
@@ -398,8 +429,48 @@ def cmd_eval(args):
                          proj[0], proj[1][:3, :3], float(dv[0]), dint)
         img = (np.clip(s["imgs"][0], 0, 1) * 255).astype(np.uint8)
         Image.fromarray(img).save(scan_dir / "images" / f"{ref:08d}.png")
-        if i % 20 == 0:
-            print(f"eval wrote {i + 1}/{len(ds)}", flush=True)
+
+    # per-process dataset slice (multi-host), like cmd_write
+    from diner_tpu.parallel import process_local_slice
+
+    idxs = process_local_slice(len(ds))
+
+    if getattr(args, "data_parallel", False) and len(jax.devices()) > 1:
+        from diner_tpu.parallel import make_mesh, replicate, shard_batch
+
+        mesh = make_mesh(axis_names=("data",))
+        B = mesh.devices.size
+        variables = replicate(variables, mesh)
+        done = 0
+        for c0 in range(0, len(idxs), B):
+            chunk = idxs[c0:c0 + B]
+            samples = [ds[i] for i in chunk]
+            padded = samples + [samples[-1]] * (B - len(chunk))
+            batch = shard_batch(
+                {"imgs": jnp.asarray(np.stack([s["imgs"] for s in padded])),
+                 "projs": {k: jnp.asarray(np.stack(
+                     [s["proj_matrices"][k] for s in padded]))
+                     for k in padded[0]["proj_matrices"]},
+                 "dvals": jnp.asarray(np.stack(
+                     [s["depth_values"] for s in padded]))}, mesh)
+            depth, conf = infer(variables, batch["imgs"], batch["projs"],
+                                batch["dvals"])
+            depth, conf = np.asarray(depth), np.asarray(conf)
+            for j, s in enumerate(samples):
+                write_one(s, depth[j], conf[j])
+            done += len(samples)
+            print(f"eval wrote {done}/{len(idxs)} (x{B} chips)", flush=True)
+        return
+
+    for n, i in enumerate(idxs):
+        s = ds[i]
+        depth, conf = infer(
+            variables, jnp.asarray(s["imgs"])[None],
+            {k: jnp.asarray(v)[None] for k, v in s["proj_matrices"].items()},
+            jnp.asarray(s["depth_values"])[None])
+        write_one(s, np.asarray(depth[0]), np.asarray(conf[0]))
+        if n % 20 == 0:
+            print(f"eval wrote {n + 1}/{len(idxs)}", flush=True)
 
 
 def _read_testlist(args):
@@ -585,6 +656,10 @@ def main(argv=None):
                            help="depth divisor before writing; default "
                                 "872/0.7 for --dataset dtu (train.py:170), "
                                 "1.0 (metric) for the face datasets")
+            p.add_argument("--data-parallel", action="store_true",
+                           help="shard a batch of samples over all devices "
+                                "(one cascade per chip); multi-host runs "
+                                "additionally slice the dataset per process")
 
     pe = sub.add_parser("eval", help="save_scene_depth equivalent "
                                      "(test.py:136-218)")
@@ -599,6 +674,8 @@ def main(argv=None):
     pe.add_argument("--num_view", type=int, default=5)
     pe.add_argument("--interval_scale", type=float, default=1.06)
     pe.add_argument("--img_ext", default=".jpg")
+    pe.add_argument("--data-parallel", action="store_true",
+                    help="shard a batch of ref views over all devices")
     pe.add_argument("--cr_base_chs", default="",
                     help="cost-reg base channels, e.g. 8,8,8")
     pe.add_argument("--base_channels", type=int, default=0,

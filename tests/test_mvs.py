@@ -222,6 +222,77 @@ def test_linear_attention_matches_naive():
     np.testing.assert_allclose(out, naive, rtol=1e-4, atol=1e-5)
 
 
+def test_whole_cascade_matches_torch():
+    """The ASSEMBLED 3-stage cascade vs an independent torch rebuild at
+    random weights (TransMVSNet.py:109-226 contract): feature FPN + FMT +
+    per-stage hypothesis refinement + view-weight reuse + WTA, end to end.
+    Layer-level parity is covered by the tests above; this catches wiring
+    bugs (stage scaling, proj fusion, upsampling conventions)."""
+    pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from diner_tpu.mvs.net import TransMVSNet
+    from tests.torch_mvs_reference import cascade_forward
+
+    rng = np.random.RandomState(0)
+    B, V, H, W = 1, 3, 32, 32
+    ndepths, ratios = (8, 8, 8), (4, 2, 1)
+    net = TransMVSNet(ndepths=ndepths, depth_intervals_ratio=ratios,
+                      cr_base_chs=(4, 4, 4), base_channels=4)
+
+    imgs = rng.rand(B, V, H, W, 3).astype(np.float32)
+    # three cameras on a small arc looking at a plane at z~1.5
+    projs = {}
+    exts = []
+    for v in range(V):
+        ext = np.eye(4, dtype=np.float32)
+        ext[0, 3] = 0.08 * (v - 1)  # lateral baseline
+        exts.append(ext)
+    for si, scale in enumerate((4, 2, 1)):
+        K = np.array([[40.0 / scale, 0, W / (2 * scale)],
+                      [0, 40.0 / scale, H / (2 * scale)],
+                      [0, 0, 1]], np.float32)
+        K4 = np.eye(4, dtype=np.float32)
+        K4[:3, :3] = K
+        projs[f"stage{si + 1}"] = np.stack(
+            [np.stack([np.stack([e, K4]) for e in exts])] * B)
+    dv = np.linspace(1.0, 2.0, 16, dtype=np.float32)[None].repeat(B, 0)
+
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(imgs),
+                         {k: jnp.asarray(v) for k, v in projs.items()},
+                         jnp.asarray(dv))
+    # randomize ALL leaves (flax zero-inits DCN offsets and most biases, and
+    # BN stats start at identity — noise exercises the full math); keep BN
+    # var positive
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    leaves = [l + 0.1 * jax.random.normal(k, l.shape, l.dtype)
+              for l, k in zip(leaves, keys)]
+    variables = dict(jax.tree_util.tree_unflatten(treedef, leaves))
+    variables["batch_stats"] = jax.tree.map(jnp.abs,
+                                            variables["batch_stats"])
+
+    ours = net.apply(variables, jnp.asarray(imgs),
+                     {k: jnp.asarray(v) for k, v in projs.items()},
+                     jnp.asarray(dv))
+    ref = cascade_forward(jax.device_get(variables), imgs, projs, dv,
+                          ndepths=ndepths, depth_intervals_ratio=ratios)
+
+    for st in ("stage1", "stage2", "stage3"):
+        pv_ours = np.asarray(ours[st]["prob_volume"])
+        pv_ref = ref[st]["prob_volume"]
+        np.testing.assert_allclose(pv_ours, pv_ref, atol=2e-4,
+                                   err_msg=f"{st} prob_volume")
+        # WTA depth: allow rare argmax tie flips between frameworks
+        d_ours = np.asarray(ours[st]["depth"])
+        d_ref = ref[st]["depth"]
+        frac_diff = np.mean(np.abs(d_ours - d_ref) > 1e-3)
+        assert frac_diff < 0.02, f"{st} depth mismatch frac {frac_diff}"
+    np.testing.assert_allclose(np.asarray(ours["photometric_confidence"]),
+                               ref["photometric_confidence"], atol=2e-4)
+
+
 def test_sine_position_encoding_properties():
     from diner_tpu.mvs.fmt import sine_position_encoding_2d
 

@@ -155,3 +155,112 @@ def test_composite_parity(stacks):
                            frac=0.995, tol=1e-4, max_tol=2e-3)
     _assert_close_quantile(np.asarray(weights), w_t.numpy(),
                            frac=0.995, tol=1e-4, max_tol=2e-3)
+
+
+# ---- flagship shape: 256x320 / padding 64 / 4 views / BN + relu-sigma ----
+# (the reference's actual DTU eval configuration,
+#  python_scripts/create_prediction_folder.py:30-49 + configs/train_dtu.yaml)
+
+FH, FW, FNV, FPAD = 256, 320, 4, 64
+
+
+def _flagship_scene():
+    rng = np.random.RandomState(7)
+    images = rng.rand(SB, FNV, FH, FW, 3).astype(np.float32)
+    yy, xx = np.mgrid[:FH, :FW] / FH
+    base = 0.65 + 0.05 * np.sin(3 * xx) * np.cos(2 * yy)
+    depths = np.stack([base + 0.02 * v for v in range(FNV)])[None]
+    depths = depths[..., None].astype(np.float32)
+    stds = (0.02 + 0.01 * rng.rand(SB, FNV, FH, FW, 1)).astype(np.float32)
+
+    K = np.zeros((SB, FNV, 3, 3), np.float32)
+    K[..., 0, 0] = K[..., 1, 1] = 320.0
+    K[..., 0, 2] = FW / 2
+    K[..., 1, 2] = FH / 2
+    K[..., 2, 2] = 1.0
+    ext = np.broadcast_to(np.eye(4, dtype=np.float32), (SB, FNV, 4, 4)).copy()
+    for v in range(1, FNV):
+        a = 0.05 * v
+        ext[0, v, :3, :3] = np.array([[np.cos(a), 0, np.sin(a)],
+                                      [0, 1, 0],
+                                      [-np.sin(a), 0, np.cos(a)]], np.float32)
+        ext[0, v, 0, 3] = 0.04 * v
+    return images, depths, stds, ext, K
+
+
+@pytest.fixture(scope="module")
+def flagship_stacks():
+    sd = _fake_lightning_sd()
+    ref = TorchReferenceStack(sd, num_layers=4, image_padding=FPAD,
+                              padding_pe=4, num_freqs=6, freq_factor=6.28,
+                              n_blocks=5, combine_layer=3)
+    images, depths, stds, ext, K = _flagship_scene()
+    ref.encode(t(np.moveaxis(images, -1, 2)), t(np.moveaxis(depths, -1, 2)),
+               t(np.moveaxis(stds, -1, 2)), t(ext), t(K))
+
+    model = PixelNeRF(encoder_layers=4, encoder_norm="batch",
+                      image_padding=FPAD, padding_pe=4, n_blocks=5,
+                      d_hidden=512, combine_layer=3, sigma_activation="relu")
+    ported, extras = port_diner_checkpoint(sd)
+    variables = {"params": ported["params"],
+                 "batch_stats": ported["batch_stats"]}
+    enc = model.apply(variables, jnp.asarray(images), jnp.asarray(depths),
+                      jnp.asarray(stds), jnp.asarray(ext), jnp.asarray(K),
+                      method="encode")
+    return ref, model, variables, enc
+
+
+def test_flagship_encode_parity(flagship_stacks):
+    """Full flagship-shape latent parity: the 384x448-padded 4-view encode
+    with the border-PE surgery, at the real DTU padding."""
+    ref, model, variables, enc = flagship_stacks
+    ours = np.moveaxis(np.asarray(enc.latent), -1, 2)
+    theirs = ref.latent.numpy()
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours[:, :, :256], theirs[:, :, :256],
+                               rtol=1e-4, atol=5e-4)
+    _assert_close_quantile(ours[:, :, 256:], theirs[:, :, 256:],
+                           frac=0.995, tol=1e-3, max_tol=2e-2)
+
+
+def test_flagship_field_parity(flagship_stacks):
+    ref, model, variables, enc = flagship_stacks
+    xyz, dirs = _query_points()
+    theirs = ref.field(t(xyz), t(dirs)).numpy()
+    ours = np.asarray(model.apply(variables, enc, jnp.asarray(xyz),
+                                  jnp.asarray(dirs), method="field"))
+    # rtol 2e-4: 4-view mid-MLP averaging at random weights accumulates
+    # ~1e-4 relative float noise on the unbounded sigma head
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=1e-4)
+
+
+def test_flagship_composite_parity(flagship_stacks):
+    """A 16x20 crop of the flagship view through both compositors on
+    identical z samples (full-image compositing at 512-width MLP x 40
+    samples is CPU-prohibitive; the chunked tiling is shape-independent)."""
+    from diner_tpu.geometry import gen_rays
+    from diner_tpu.renderer.composite import composite
+
+    ref, model, variables, enc = flagship_stacks
+    images, depths, stds, ext, K = _flagship_scene()
+    h, w = 16, 20
+    Ksmall = K[:, 0].copy()
+    Ksmall[..., 0, 2] = w / 2
+    Ksmall[..., 1, 2] = h / 2
+    rays = gen_rays(jnp.asarray(ext[:, 0]), jnp.asarray(Ksmall), w, h,
+                    jnp.full((SB,), 0.4), jnp.full((SB,), 1.2))
+    rays = rays.reshape(SB, h * w, 8)
+    z = jnp.broadcast_to(jnp.linspace(0.45, 1.1, 40, dtype=jnp.float32),
+                         (SB, h * w, 40))
+
+    weights, rgb, depth = composite(
+        lambda p, d: model.apply(variables, enc, p, d, method="field"),
+        rays, z, white_bkgd=False)
+    w_t, rgb_t, depth_t = ref.composite(t(np.asarray(rays)), t(np.asarray(z)))
+
+    _assert_close_quantile(np.asarray(rgb), rgb_t.numpy(),
+                           frac=0.995, tol=1e-4, max_tol=2e-3)
+    _assert_close_quantile(np.asarray(depth), depth_t.numpy(),
+                           frac=0.995, tol=1e-4, max_tol=2e-3)
+    _assert_close_quantile(np.asarray(weights), w_t.numpy(),
+                           frac=0.995, tol=1e-4, max_tol=2e-3)

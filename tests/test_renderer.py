@@ -310,3 +310,46 @@ def test_render_image_sharded_with_anchors():
     assert rgb.shape == (1, 10, 12, 3)
     assert not np.isnan(np.asarray(rgb)).any()
     assert float(jnp.abs(rgb).max()) > 0
+
+
+def test_render_image_pipelined_matches_sequential():
+    """The software-pipelined split-field renderer is a pure reordering:
+    rgb/depth equal to render_flat_chunked (to XLA fusion noise) for the same rng, both with
+    and without epipolar anchors, including the non-divisible-chunk tail."""
+    model, images, base = _tiny_model_and_batch()
+    K = np.zeros((1, 2, 3, 3), np.float32)
+    K[..., 0, 0] = K[..., 1, 1] = 20.0
+    K[..., 0, 2], K[..., 1, 2], K[..., 2, 2] = 10.0, 8.0, 1.0
+    xyz = jnp.zeros((1, 1, 3))
+    variables = model.init(jax.random.PRNGKey(0), images, base.depths,
+                           base.depth_stds, base.poses, jnp.asarray(K),
+                           xyz, xyz)
+    enc = model.apply(variables, images, base.depths, base.depth_stds,
+                      base.poses, jnp.asarray(K), method="encode")
+
+    def field_fn(pts, dirs, aux=None):
+        return model.apply(variables, enc, pts, dirs, aux, method="field")
+
+    def gather_fn(pts, aux):
+        return model.apply(variables, enc, pts, aux, method="field_gather")
+
+    def mlp_fn(gathered, pts, dirs):
+        return model.apply(variables, enc, gathered, pts, dirs,
+                           method="field_mlp")
+
+    from diner_tpu.geometry import gen_rays
+
+    img_rays = gen_rays(base.poses[:, 0], jnp.asarray(K[:, 0]), 6, 4, 1.0, 3.0)
+    for cfg in (RenderConfig(n_samples=8, n_depth_candidates=32, n_gaussian=3),
+                RenderConfig(n_samples=8, n_depth_candidates=32, n_gaussian=3,
+                             n_prior_anchors=8, anchor_field_depth=True)):
+        for chunk in (7, 24):  # tail + single-chunk paths
+            rgb_s, depth_s = render_image(field_fn, jax.random.PRNGKey(2),
+                                          img_rays, enc, cfg, chunk=chunk)
+            rgb_p, depth_p = render_image(field_fn, jax.random.PRNGKey(2),
+                                          img_rays, enc, cfg, chunk=chunk,
+                                          split=(gather_fn, mlp_fn))
+            np.testing.assert_allclose(np.asarray(rgb_p), np.asarray(rgb_s),
+                                       atol=1e-5)
+            np.testing.assert_allclose(np.asarray(depth_p),
+                                       np.asarray(depth_s), atol=1e-5)
