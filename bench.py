@@ -8,9 +8,12 @@ NOT the lighter 16 earlier rounds benched), 1000 depth candidates ->
 40 samples/ray, 512-wide conditioned MLP with view-mean, alpha compositing;
 one 256x320 image (81,920 rays) per timed iteration in jitted chunks.
 
-Primary metric: anchor-path rays/s (epipolar-anchor prior fetch, A=64 —
-stays within the reference's own +-0.5 px nearest-pixel quantization;
-~39 dB PSNR vs the exact path on the bench scene). Also reported:
+Primary metric: fast-path rays/s — epipolar-anchor prior fetch (A=64,
+within the reference's own +-0.5 px nearest-pixel quantization; ~39 dB
+vs exact) + epipolar-anchor latent fetch (8 anchors over each ray's sample
+segment, 2-hot MXU interpolation; 45.2 dB PSNR vs the exact-latent render
+on this scene — see PERFORMANCE.md round 3). Also reported:
+  - anchor_rays_per_sec: prior anchors only, exact per-sample latent;
   - exact_rays_per_sec: n_prior_anchors=0, bit-parity reference semantics;
   - train_steps_per_sec: DTU-recipe training step (batch 2, fg-anchored
     64x64 VGG+antibias patches = 8192 rays/step, encode + backward).
@@ -48,7 +51,8 @@ def _flagship_model(**kw):
                      compute_dtype="bfloat16", **kw)
 
 
-def bench_render(n_prior_anchors: int, iters: int = ITERS):
+def bench_render(n_prior_anchors: int, iters: int = ITERS,
+                 latent_anchors: int = 0):
     from diner_tpu.core.types import RenderConfig
     from diner_tpu.data import SyntheticSphereDataset, collate, to_device_batch
     from diner_tpu.geometry import gen_rays
@@ -56,7 +60,7 @@ def bench_render(n_prior_anchors: int, iters: int = ITERS):
     from diner_tpu.utils.jitinit import jit_init
     from diner_tpu.utils.profiling import benchmark
 
-    model = _flagship_model(quad_latent=True)
+    model = _flagship_model(quad_latent=True, latent_anchors=latent_anchors)
     cfg = RenderConfig(n_samples=40, n_depth_candidates=1000, n_gaussian=15,
                        n_prior_anchors=n_prior_anchors)
 
@@ -140,16 +144,18 @@ def bench_train_step(iters: int = ITERS):
 
 
 def main():
-    dt_anchor = bench_render(64)
+    dt_fast = bench_render(64, latent_anchors=8)
+    dt_anchor = bench_render(64, iters=3)
     dt_exact = bench_render(0, iters=3)
     dt_step = bench_train_step()
-    rays = H * W / dt_anchor
+    rays = H * W / dt_fast
     print(json.dumps({
         "metric": "render_rays_per_sec_per_chip",
         "value": round(rays, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays / BASELINE_RAYS_PER_SEC, 3),
-        "secs_per_frame_256x320": round(dt_anchor, 4),
+        "secs_per_frame_256x320": round(dt_fast, 4),
+        "anchor_rays_per_sec": round(H * W / dt_anchor, 1),
         "exact_rays_per_sec": round(H * W / dt_exact, 1),
         "exact_secs_per_frame": round(dt_exact, 4),
         "train_steps_per_sec": round(1.0 / dt_step, 2),

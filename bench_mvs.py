@@ -1,0 +1,124 @@
+"""MVS depth-prior writer benchmark on one chip: depth-maps/min at the
+reference's DTU training shape (512x640, 5 views, ndepths 48/32/8, 192
+hypotheses — deps/TransMVSNet/train.py:152-191 writes priors with exactly
+this cascade), plus a component profile (feature+FMT vs per-stage cost
+volume+regularization).
+
+Prints one JSON line (depth-maps/min + component millis). Run:
+    python bench_mvs.py [--components]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+
+from diner_tpu.utils.profiling import setup_compilation_cache
+
+setup_compilation_cache()
+
+import jax.numpy as jnp
+import numpy as np
+
+H, W, V = 512, 640, 5
+NDEPTHS = (48, 32, 8)
+NUMDEPTH = 192
+
+
+def _setup():
+    from diner_tpu.mvs.net import TransMVSNet
+    from diner_tpu.utils.jitinit import jit_init
+
+    net = TransMVSNet(ndepths=NDEPTHS, depth_intervals_ratio=(4, 2, 1),
+                      cr_base_chs=(8, 8, 8), base_channels=8)
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(1, V, H, W, 3).astype(np.float32))
+    projs = {}
+    for si, scale in enumerate((4, 2, 1)):
+        K4 = np.eye(4, dtype=np.float32)
+        K4[0, 0] = K4[1, 1] = 2892.33 / scale  # DTU intrinsics scale
+        K4[0, 2], K4[1, 2] = W / (2 * scale), H / (2 * scale)
+        stack = []
+        for v in range(V):
+            ext = np.eye(4, dtype=np.float32)
+            ext[0, 3] = 4.0 * (v - V // 2)  # mm-scale DTU baselines
+            stack.append(np.stack([ext, K4]))
+        projs[f"stage{si + 1}"] = jnp.asarray(np.stack(stack)[None])
+    dvals = jnp.asarray(np.linspace(425.0, 905.0, NUMDEPTH,
+                                    dtype=np.float32)[None])
+    variables = jit_init(net.init)(jax.random.PRNGKey(0), imgs, projs, dvals)
+    return net, variables, imgs, projs, dvals
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--components", action="store_true",
+                    help="also time feature/FMT vs cost-volume stages")
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    from diner_tpu.utils.profiling import benchmark
+
+    net, variables, imgs, projs, dvals = _setup()
+
+    @jax.jit
+    def infer(variables, imgs, projs, dvals):
+        out = net.apply(variables, imgs, projs, dvals)
+        return out["depth"], out["photometric_confidence"]
+
+    res = benchmark(infer, variables, imgs, projs, dvals,
+                    warmup=2, iters=args.iters)
+    dt = res["median_s"]
+    line = {
+        "metric": "mvs_depth_maps_per_min_per_chip",
+        "value": round(60.0 / dt, 1),
+        "unit": "depth-maps/min",
+        "secs_per_map_512x640": round(dt, 4),
+        "ndepths": list(NDEPTHS),
+        "device": str(jax.devices()[0]),
+    }
+
+    if args.components:
+        from diner_tpu.mvs.ops import homo_warping
+
+        @jax.jit
+        def feats(variables, imgs):
+            def run(m, imgs):
+                fs = [m.feature(imgs[:, v]) for v in range(V)]
+                return m.fmt_with_pathway(fs)
+
+            return net.apply(variables, imgs, method=run)
+
+        f = jax.block_until_ready(feats(variables, imgs))
+        res_f = benchmark(feats, variables, imgs, warmup=1, iters=3)
+        line["feature_fmt_ms"] = round(res_f["median_s"] * 1e3, 1)
+
+        # stage-1 warp alone: the homography hot loop at 48 hypotheses /4 res
+        s1 = [x["stage1"] for x in f]
+        proj = projs["stage1"]
+
+        def fuse(p):
+            out = p[:, 0]
+            krt = jnp.einsum("bij,bjk->bik", p[:, 1, :3, :3], p[:, 0, :3, :4])
+            return out.at[:, :3, :4].set(krt)
+
+        dv1 = jnp.broadcast_to(
+            jnp.linspace(425.0, 905.0, NDEPTHS[0])[None, :, None, None],
+            (1, NDEPTHS[0], H // 4, W // 4))
+
+        @jax.jit
+        def warp_all(s1, proj, dv1):
+            ref_p = fuse(proj[:, 0])
+            return sum(homo_warping(s1[i + 1], fuse(proj[:, i + 1]), ref_p,
+                                    dv1).sum() for i in range(V - 1))
+
+        res_w = benchmark(warp_all, s1, proj, dv1, warmup=1, iters=3)
+        line["homo_warp_stage1_ms"] = round(res_w["median_s"] * 1e3, 1)
+
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()

@@ -138,8 +138,12 @@ def main(argv=None):
             create_cam_sweep(sweep_render, val_set, eval_dir / "cam_sweeps",
                              **sweep_kw)
 
+    opt_conf = conf.get("optimizer", {}).get("kwargs", {})
     train(model, train_loader, logdir,
-          lr=float(conf.get("optimizer", {}).get("kwargs", {}).get("lr", 1e-4)),
+          lr=float(opt_conf.get("lr", 1e-4)),
+          opt_kwargs={k: opt_conf[k] for k in
+                      ("lr_schedule", "lr_decay_steps", "lr_warmup_steps")
+                      if k in opt_conf},
           max_steps=max_steps,
           ckpt_every=int(conf.get("checkpointing", {}).get("kwargs", {})
                          .get("every_n_train_steps", 10_000)),

@@ -57,6 +57,56 @@ def index_latent(enc: SceneEncoding, uv):
     return grid_sample(enc.latent, uv, mode="bilinear", padding_mode="border")
 
 
+def index_latent_anchored(enc: SceneEncoding, uv, epi_aux, n_anchors: int):
+    """Epipolar-anchor latent fetch: per (ray, view), gather the latent at
+    `n_anchors` points spanning the SAMPLE segment of the epipolar chord and
+    linearly interpolate per sample (a 2-hot MXU matmul).
+
+    The samples' chord coordinates come from the same closed-form arithmetic
+    as `anchor_ids`; anchors cover [min_s, max_s] of the actual samples of
+    each ray, so anchor spacing is sample-span-px / (n_anchors - 1) — with
+    depth-guided sampling the span is typically a few px, giving sub-pixel
+    spacing (tighter than the reference's own +-0.5 px nearest-prior
+    quantization). The interpolation is a piecewise-linear cut through the
+    bilinear latent field along the chord. Cuts latent-gather rows by
+    n_samples / n_anchors (the dominant render-time HBM cost).
+
+    uv: (SB, NV, B, 2) ray-major with B = NR * NS. Returns (SB, NV, B, C).
+    """
+    SB, NV, B, _ = uv.shape
+    NR = epi_aux.uv0.shape[2]
+    NS = B // NR
+    A = n_anchors
+    uvr = uv.reshape(SB, NV, NR, NS, 2)
+
+    # continuous chord coordinate s in [0, 1] (anchor_ids, sans rounding)
+    t = jnp.sum((uvr - epi_aux.uv0[..., None, :])
+                * epi_aux.duv[..., None, :], axis=-1)  # (SB, NV, NR, NS)
+    dd = epi_aux.dd[..., None]
+    s = jnp.where(dd > 1e-12, t / jnp.where(dd == 0, 1.0, dd), 0.5)
+    s = jnp.clip(s, 0.0, 1.0)
+
+    s_min = jnp.min(s, axis=-1)  # (SB, NV, NR)
+    span = jnp.maximum(jnp.max(s, axis=-1) - s_min, 1e-8)
+    frac = jnp.arange(A, dtype=s.dtype) / (A - 1)  # (A,)
+    s_anchor = s_min[..., None] + frac * span[..., None]  # (SB, NV, NR, A)
+    uv_anchor = epi_aux.uv0[..., None, :] \
+        + s_anchor[..., None] * epi_aux.duv[..., None, :]
+    lat = index_latent(enc, uv_anchor.reshape(SB, NV, NR * A, 2))
+    lat = lat.reshape(SB, NV, NR, A, lat.shape[-1])
+
+    # per-sample fractional anchor index -> 2-hot interpolation matrix,
+    # contracted on the MXU: (NS, A) @ (A, C)
+    x = (s - s_min[..., None]) / span[..., None] * (A - 1)  # (SB, NV, NR, NS)
+    i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, A - 2)
+    w = (x - i0.astype(x.dtype))[..., None]  # (SB, NV, NR, NS, 1)
+    two_hot = (jax.nn.one_hot(i0, A, dtype=lat.dtype) * (1.0 - w)
+               + jax.nn.one_hot(i0 + 1, A, dtype=lat.dtype) * w)
+    out = jnp.einsum("svrna,svrac->svrnc", two_hot, lat,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(SB, NV, B, out.shape[-1])
+
+
 def index_depth(enc: SceneEncoding, uv):
     return grid_sample(enc.depths, uv, mode="nearest", padding_mode="border")
 
@@ -139,6 +189,14 @@ class PixelNeRF(nn.Module):
     # rematerialize the field MLP on backward: trades FLOPs for activation
     # memory so large ray batches train on one chip (SURVEY.md HBM note)
     remat_field: bool = False
+    # >0: epipolar-anchor latent fetch — gather the latent at N anchors over
+    # each ray's sample segment and 2-hot-interpolate per sample on the MXU
+    # (index_latent_anchored). Cuts the dominant render-time gather by
+    # n_samples/N. Render-time approximation knob (needs the sampler's
+    # EpiAnchors, i.e. RenderConfig.n_prior_anchors > 0 and
+    # anchor_field_depth); 0 = exact per-sample bilinear (reference
+    # semantics). Validate PSNR-vs-exact before eval-parity runs.
+    latent_anchors: int = 0
     # initial bias of the sigma output channel: keeps the relu density head
     # alive at init (a dead head freezes training — zero compositing weights
     # give zero gradients). 0.0 reproduces the reference's zero-bias init.
@@ -232,7 +290,11 @@ class PixelNeRF(nn.Module):
         xyz_nv = jnp.broadcast_to(xyz[:, None], (SB, NV, B, 3))
         xyz_cam = transform_points(enc.poses, xyz_nv)  # (SB, NV, B, 3)
         uv = project_points(xyz_cam, enc.focal, enc.c, enc.image_shape)
-        latent = index_latent(enc, uv)  # (SB, NV, B, C)
+        if self.latent_anchors and epi_aux is not None:
+            latent = index_latent_anchored(enc, uv, epi_aux,
+                                           self.latent_anchors)
+        else:
+            latent = index_latent(enc, uv)  # (SB, NV, B, C)
         if epi_aux is not None:
             ref_depth = _anchor_ref_depth(epi_aux, uv)  # (SB, NV, B)
         else:

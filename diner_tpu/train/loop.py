@@ -114,7 +114,8 @@ def restore_checkpoint(ckpt_dir, state, step: Optional[int] = None):
 
 
 def train(model, train_batches: Iterable, logdir, *,
-          example_batch=None, lr: float = 1e-4, max_steps: int = 100,
+          example_batch=None, lr: float = 1e-4, opt_kwargs=None,
+          max_steps: int = 100,
           log_every: int = 50, ckpt_every: int = 10_000,
           val_every: Optional[int] = None,
           val_fn: Optional[Callable] = None,
@@ -137,7 +138,8 @@ def train(model, train_batches: Iterable, logdir, *,
         mesh = make_data_mesh_for_batch(bs * jax.process_count())
 
     rng = jax.random.PRNGKey(seed)
-    state = create_train_state(model, rng, example_batch, lr=lr)
+    state = create_train_state(model, rng, example_batch, lr=lr,
+                               **(opt_kwargs or {}))
     start_step = 0
     if resume:
         state, start_step = restore_checkpoint(logdir / "ckpts", state)

@@ -32,20 +32,42 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def make_optimizer(params, lr: float = 1e-4) -> optax.GradientTransformation:
-    """Adam on the `nerf` subtree; everything else (e.g. `vgg`) frozen."""
+def make_optimizer(params, lr: float = 1e-4, lr_schedule: str = "constant",
+                   lr_decay_steps: int = 0,
+                   lr_warmup_steps: int = 0) -> optax.GradientTransformation:
+    """Adam on the `nerf` subtree; everything else (e.g. `vgg`) frozen.
+
+    lr_schedule: "constant" (the reference's Adam, diner.py:40-43) or
+    "cosine" (decay to lr/100 over lr_decay_steps, optional linear warmup) —
+    a framework extension used by the synthetic-plateau study
+    (PERFORMANCE.md round 3)."""
+    if lr_schedule == "cosine" and lr_decay_steps > 0:
+        if lr_warmup_steps > 0:
+            sched = optax.warmup_cosine_decay_schedule(
+                0.0, lr, lr_warmup_steps, lr_decay_steps,
+                end_value=lr * 0.01)
+        else:
+            sched = optax.cosine_decay_schedule(lr, lr_decay_steps,
+                                                alpha=0.01)
+    elif lr_schedule not in ("constant", "cosine"):
+        raise ValueError(f"unknown lr_schedule {lr_schedule!r}")
+    else:
+        sched = lr
+
     def label(tree):
         return {k: ("nerf" if k == "nerf" else "frozen") for k in tree}
     return optax.multi_transform(
-        {"nerf": optax.adam(lr), "frozen": optax.set_to_zero()}, label(params))
+        {"nerf": optax.adam(sched), "frozen": optax.set_to_zero()},
+        label(params))
 
 
-def create_train_state(model, rng, example_batch, lr: float = 1e-4) -> TrainState:
+def create_train_state(model, rng, example_batch, lr: float = 1e-4,
+                       **opt_kwargs) -> TrainState:
     from diner_tpu.utils.jitinit import jit_init
 
     variables = jit_init(model.init)(rng, example_batch, jax.random.PRNGKey(0))
     params = variables["params"]
     batch_stats = variables.get("batch_stats")
-    tx = make_optimizer(params, lr)
+    tx = make_optimizer(params, lr, **opt_kwargs)
     return TrainState(step=0, params=params, batch_stats=batch_stats,
                       opt_state=tx.init(params), tx=tx)

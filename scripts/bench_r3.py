@@ -22,7 +22,7 @@ H, W = 256, 320
 
 
 def build(padding: int, anchors: int, chunk: int, d_hidden: int = 512,
-          pipelined: bool = False):
+          pipelined: bool = False, latent_anchors: int = 0):
     from diner_tpu.core.types import RenderConfig
     from diner_tpu.data import SyntheticSphereDataset, collate, to_device_batch
     from diner_tpu.geometry import gen_rays
@@ -33,7 +33,8 @@ def build(padding: int, anchors: int, chunk: int, d_hidden: int = 512,
     model = PixelNeRF(encoder_layers=4, encoder_norm="group",
                       image_padding=padding, padding_pe=4,
                       n_blocks=5, d_hidden=d_hidden, combine_layer=3,
-                      compute_dtype="bfloat16", quad_latent=True)
+                      compute_dtype="bfloat16", quad_latent=True,
+                      latent_anchors=latent_anchors)
     cfg = RenderConfig(n_samples=40, n_depth_candidates=1000, n_gaussian=15,
                        n_prior_anchors=anchors)
     ds = SyntheticSphereDataset(n_scenes=1, n_views=4, H=H, W=W)
@@ -69,11 +70,12 @@ def build(padding: int, anchors: int, chunk: int, d_hidden: int = 512,
 
 
 def run_case(name, padding, anchors, chunk, warmup=2, iters=3,
-             pipelined=False):
+             pipelined=False, latent_anchors=0):
     from diner_tpu.utils.profiling import benchmark
 
     render, variables, batch = build(padding, anchors, chunk,
-                                     pipelined=pipelined)
+                                     pipelined=pipelined,
+                                     latent_anchors=latent_anchors)
     t = benchmark(render, variables, batch, jax.random.PRNGKey(0),
                   warmup=warmup, iters=iters)
     dt = t["median_s"]
@@ -82,13 +84,41 @@ def run_case(name, padding, anchors, chunk, warmup=2, iters=3,
                       "rays_per_sec": round(H * W / dt, 1)}), flush=True)
 
 
+def run_psnr(la_list):
+    """PSNR of latent-anchored renders vs the latent-exact render (same
+    prior-anchor config, isolating the latent approximation)."""
+    import numpy as np
+
+    outs = {}
+    for la in [0] + la_list:
+        render, variables, batch = build(64, 64, 4096, latent_anchors=la)
+        outs[la] = np.asarray(render(variables, batch,
+                                     jax.random.PRNGKey(0))[0])
+    for la in la_list:
+        mse = float(np.mean((outs[la] - outs[0]) ** 2))
+        print(json.dumps({"case": f"psnr_latent_anchors_{la}_vs_exact",
+                          "psnr_dB": round(-10 * np.log10(max(mse, 1e-12)),
+                                           2)}), flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--cases", default="p16a64c8192,p64a64c8192,p64a0c8192")
+    ap.add_argument("--psnr", default=None,
+                    help="comma list of latent_anchors values to score vs "
+                         "exact, e.g. 8,16,32")
     args = ap.parse_args()
+    if args.psnr:
+        run_psnr([int(x) for x in args.psnr.split(",")])
+        raise SystemExit(0)
     for c in args.cases.split(","):
         pipelined = c.endswith("P")
         spec = c[:-1] if pipelined else c
+        la = 0
+        if "l" in spec:
+            spec, la_s = spec.rsplit("l", 1)
+            la = int(la_s)
         p, rest = spec[1:].split("a")
         a, ch = rest.split("c")
-        run_case(c, int(p), int(a), int(ch), pipelined=pipelined)
+        run_case(c, int(p), int(a), int(ch), pipelined=pipelined,
+                 latent_anchors=la)

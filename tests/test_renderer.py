@@ -353,3 +353,41 @@ def test_render_image_pipelined_matches_sequential():
                                        atol=1e-5)
             np.testing.assert_allclose(np.asarray(depth_p),
                                        np.asarray(depth_s), atol=1e-5)
+
+
+def test_latent_anchors_approximation():
+    """Epipolar-anchor latent fetch (PixelNeRF.latent_anchors): with anchors
+    at least as dense as the samples the piecewise-linear chord cut is
+    near-exact; with fewer anchors the render stays close to the exact-latent
+    render (the approximation class documented in index_latent_anchored)."""
+    model, images, base = _tiny_model_and_batch()
+    K = np.zeros((1, 2, 3, 3), np.float32)
+    K[..., 0, 0] = K[..., 1, 1] = 20.0
+    K[..., 0, 2], K[..., 1, 2], K[..., 2, 2] = 10.0, 8.0, 1.0
+    xyz = jnp.zeros((1, 1, 3))
+    variables = model.init(jax.random.PRNGKey(0), images, base.depths,
+                           base.depth_stds, base.poses, jnp.asarray(K),
+                           xyz, xyz)
+    enc = model.apply(variables, images, base.depths, base.depth_stds,
+                      base.poses, jnp.asarray(K), method="encode")
+
+    from diner_tpu.geometry import gen_rays
+
+    img_rays = gen_rays(base.poses[:, 0], jnp.asarray(K[:, 0]), 8, 8, 1.0, 3.0)
+    cfg = RenderConfig(n_samples=8, n_depth_candidates=32, n_gaussian=3,
+                       n_prior_anchors=8, anchor_field_depth=True)
+
+    def render_with(m):
+        return render_image(
+            lambda p, d, aux=None: m.apply(variables, enc, p, d, aux,
+                                           method="field"),
+            jax.random.PRNGKey(2), img_rays, enc, cfg, chunk=64)
+
+    rgb_exact, _ = render_with(model)
+    rgb_dense, _ = render_with(model.clone(latent_anchors=16))  # A >= NS
+    rgb_coarse, _ = render_with(model.clone(latent_anchors=4))  # A < NS
+
+    np.testing.assert_allclose(np.asarray(rgb_dense), np.asarray(rgb_exact),
+                               atol=2e-5)
+    mse = float(np.mean((np.asarray(rgb_coarse) - np.asarray(rgb_exact)) ** 2))
+    assert -10 * np.log10(max(mse, 1e-12)) > 30.0, f"coarse-anchor mse {mse}"
