@@ -177,6 +177,12 @@ def train(model, train_batches: Iterable, logdir, *,
         if val_every and val_fn and step > 0 and step % val_every == 0 and is_host0:
             val_fn(_host_local_state(state), step)
 
+    # final validation at max_steps: the loop body runs steps
+    # [start_step, max_steps), so the in-loop val never sees the finished
+    # model — without this the last recorded score trails by up to val_every
+    # (>=: resuming an already-finished run re-scores the final checkpoint)
+    if val_every and val_fn and 0 < max_steps and max_steps >= start_step and is_host0:
+        val_fn(_host_local_state(state), max_steps)
     save_checkpoint(logdir / "ckpts", state, step + 1 if max_steps else 0)
     return state
 

@@ -168,6 +168,30 @@ def test_mvs_write_facescape_cli(fake_facescape, tmp_path):
     assert list(root.rglob("*_TransMVSNet_conf.png"))
 
 
+def test_mvs_write_facescape_data_parallel(fake_facescape, tmp_path):
+    """`mvs write --data-parallel` on the virtual 8-device mesh: a batch of
+    samples sharded over the data axis, one cascade per device (the
+    reference's 8-GPU condor sharding, transmvsnet_train_dtu.sub)."""
+    import json
+    import shutil
+
+    from diner_tpu.cli.mvs import main
+
+    shared_root, shared_meta = fake_facescape
+    root = tmp_path / "facescape"
+    shutil.copytree(shared_root, root)
+    kwargs = json.dumps({"meta_dir": str(tmp_path / "meta"),
+                         "val_subjects": ["001"], "slide_range": 0})
+    (tmp_path / "meta").mkdir()
+    main(["write", "--dataset", "facescape", "--datapath", str(root),
+          "--listfile", "unused", "--dataset-kwargs", kwargs,
+          "--ndepths", "8,8,8", "--numdepth", "16",
+          "--cr_base_chs", "4,4,4", "--base_channels", "4",
+          "--data-parallel"])
+    assert list(root.rglob("*_TransMVSNet.png"))
+    assert list(root.rglob("*_TransMVSNet_conf.png"))
+
+
 def test_mvs_train_facescape_cli(fake_facescape, tmp_path):
     """`mvs train --dataset facescape` runs: the adapter supplies GT
     depth/mask pyramids from depth.png (reference facescape.py:159-162)."""
