@@ -27,12 +27,13 @@ NDEPTHS = (48, 32, 8)
 NUMDEPTH = 192
 
 
-def _setup():
+def _setup(compute_dtype="float32"):
     from diner_tpu.mvs.net import TransMVSNet
     from diner_tpu.utils.jitinit import jit_init
 
     net = TransMVSNet(ndepths=NDEPTHS, depth_intervals_ratio=(4, 2, 1),
-                      cr_base_chs=(8, 8, 8), base_channels=8)
+                      cr_base_chs=(8, 8, 8), base_channels=8,
+                      compute_dtype=compute_dtype)
     rng = np.random.RandomState(0)
     imgs = jnp.asarray(rng.rand(1, V, H, W, 3).astype(np.float32))
     projs = {}
@@ -57,11 +58,13 @@ def main():
     ap.add_argument("--components", action="store_true",
                     help="also time feature/FMT vs cost-volume stages")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     args = ap.parse_args()
 
     from diner_tpu.utils.profiling import benchmark
 
-    net, variables, imgs, projs, dvals = _setup()
+    net, variables, imgs, projs, dvals = _setup(args.dtype)
 
     @jax.jit
     def infer(variables, imgs, projs, dvals):
@@ -77,6 +80,7 @@ def main():
         "unit": "depth-maps/min",
         "secs_per_map_512x640": round(dt, 4),
         "ndepths": list(NDEPTHS),
+        "compute_dtype": args.dtype,
         "device": str(jax.devices()[0]),
     }
 

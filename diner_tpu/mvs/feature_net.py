@@ -19,17 +19,21 @@ class _DCNHead(nn.Module):
     mid: int
     out: int
     first_kernel: int = 3
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvBnRelu(self.mid, kernel=self.first_kernel)(x, train)
-        x = DCNLayer(self.mid)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = ConvBnRelu(self.mid, kernel=self.first_kernel,
+                       dtype=self.dtype)(x, train)
+        x = DCNLayer(self.mid, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = DCNLayer(self.mid)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = DCNLayer(self.mid, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(x)
         x = nn.relu(x)
-        return DCNLayer(self.out)(x)
+        return DCNLayer(self.out, dtype=self.dtype)(x)
 
 
 def _upsample_nearest2(x):
@@ -39,29 +43,35 @@ def _upsample_nearest2(x):
 
 class FeatureNet(nn.Module):
     base_channels: int = 8
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: (N, H, W, 3) -> dict stage1 (/4, 4b ch), stage2 (/2, 2b),
         stage3 (/1, b)."""
         b = self.base_channels
-        c0 = ConvBnRelu(b)(x, train)
-        c0 = ConvBnRelu(b)(c0, train)
-        c1 = ConvBnRelu(2 * b, kernel=5, stride=2)(c0, train)
-        c1 = ConvBnRelu(2 * b)(c1, train)
-        c1 = ConvBnRelu(2 * b)(c1, train)
-        c2 = ConvBnRelu(4 * b, kernel=5, stride=2)(c1, train)
-        c2 = ConvBnRelu(4 * b)(c2, train)
-        c2 = ConvBnRelu(4 * b)(c2, train)
+        dt = self.dtype
+        if dt is not None:
+            x = x.astype(dt)
+        c0 = ConvBnRelu(b, dtype=dt)(x, train)
+        c0 = ConvBnRelu(b, dtype=dt)(c0, train)
+        c1 = ConvBnRelu(2 * b, kernel=5, stride=2, dtype=dt)(c0, train)
+        c1 = ConvBnRelu(2 * b, dtype=dt)(c1, train)
+        c1 = ConvBnRelu(2 * b, dtype=dt)(c1, train)
+        c2 = ConvBnRelu(4 * b, kernel=5, stride=2, dtype=dt)(c1, train)
+        c2 = ConvBnRelu(4 * b, dtype=dt)(c2, train)
+        c2 = ConvBnRelu(4 * b, dtype=dt)(c2, train)
 
         out = {}
         intra = c2
-        out["stage1"] = _DCNHead(4 * b, 4 * b, first_kernel=1,
+        out["stage1"] = _DCNHead(4 * b, 4 * b, first_kernel=1, dtype=dt,
                                  name="out1")(intra, train)
-        intra = _upsample_nearest2(intra) + nn.Conv(4 * b, (1, 1),
+        intra = _upsample_nearest2(intra) + nn.Conv(4 * b, (1, 1), dtype=dt,
                                                     name="inner1")(c1)
-        out["stage2"] = _DCNHead(4 * b, 2 * b, name="out2")(intra, train)
-        intra = _upsample_nearest2(intra) + nn.Conv(4 * b, (1, 1),
+        out["stage2"] = _DCNHead(4 * b, 2 * b, dtype=dt,
+                                 name="out2")(intra, train)
+        intra = _upsample_nearest2(intra) + nn.Conv(4 * b, (1, 1), dtype=dt,
                                                     name="inner2")(c0)
-        out["stage3"] = _DCNHead(4 * b, b, name="out3")(intra, train)
+        out["stage3"] = _DCNHead(4 * b, b, dtype=dt,
+                                 name="out3")(intra, train)
         return out

@@ -52,48 +52,54 @@ def linear_attention(q, k, v, eps: float = 1e-6):
 class AttentionLayer(nn.Module):
     d_model: int
     n_heads: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, queries, keys, values):
         N, L, _ = queries.shape
         S = keys.shape[1]
         H = self.n_heads
-        q = nn.Dense(self.d_model, kernel_init=_xavier,
+        q = nn.Dense(self.d_model, kernel_init=_xavier, dtype=self.dtype,
                      name="query_projection")(queries).reshape(N, L, H, -1)
-        k = nn.Dense(self.d_model, kernel_init=_xavier,
+        k = nn.Dense(self.d_model, kernel_init=_xavier, dtype=self.dtype,
                      name="key_projection")(keys).reshape(N, S, H, -1)
-        v = nn.Dense(self.d_model, kernel_init=_xavier,
+        v = nn.Dense(self.d_model, kernel_init=_xavier, dtype=self.dtype,
                      name="value_projection")(values).reshape(N, S, H, -1)
         out = linear_attention(q, k, v).reshape(N, L, -1)
-        return nn.Dense(self.d_model, kernel_init=_xavier,
+        return nn.Dense(self.d_model, kernel_init=_xavier, dtype=self.dtype,
                         name="out_projection")(out)
 
 
 class EncoderLayer(nn.Module):
     d_model: int
     n_heads: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, source):
-        x = x + AttentionLayer(self.d_model, self.n_heads,
+        x = x + AttentionLayer(self.d_model, self.n_heads, dtype=self.dtype,
                                name="attention")(x, source, source)
-        y = x = nn.LayerNorm(name="norm1")(x)
+        # LayerNorm reductions stay f32 (flax default upcasts internally)
+        y = x = nn.LayerNorm(name="norm1", dtype=self.dtype)(x)
         y = nn.relu(nn.Dense(2 * self.d_model, kernel_init=_xavier,
-                             name="linear1")(y))
-        y = nn.Dense(self.d_model, kernel_init=_xavier, name="linear2")(y)
-        return nn.LayerNorm(name="norm2")(x + y)
+                             dtype=self.dtype, name="linear1")(y))
+        y = nn.Dense(self.d_model, kernel_init=_xavier, dtype=self.dtype,
+                     name="linear2")(y)
+        return nn.LayerNorm(name="norm2", dtype=self.dtype)(x + y)
 
 
 class FMT(nn.Module):
     d_model: int = 32
     n_heads: int = 8
     layer_names: tuple = ("self", "cross") * 4
+    dtype: object = None
 
     @nn.compact
     def __call__(self, ref_feature, src_feature=None, feat: str = "ref"):
         """ref: (N, H, W, C) -> list of per-self-layer outputs (NHWC).
         src: ref_list + (N, H, W, C) -> transformed src (NHWC)."""
-        layers = [EncoderLayer(self.d_model, self.n_heads, name=f"layer_{i}")
+        layers = [EncoderLayer(self.d_model, self.n_heads, dtype=self.dtype,
+                               name=f"layer_{i}")
                   for i in range(len(self.layer_names))]
 
         if feat == "ref":
@@ -122,17 +128,20 @@ class FMT(nn.Module):
 
 class FMTWithPathway(nn.Module):
     base_channels: int = 8
+    dtype: object = None
 
     def setup(self):
-        self.fmt = FMT(d_model=4 * self.base_channels)
+        self.fmt = FMT(d_model=4 * self.base_channels, dtype=self.dtype)
         self.dim_reduction_1 = nn.Conv(2 * self.base_channels, (1, 1),
-                                       use_bias=False)
+                                       use_bias=False, dtype=self.dtype)
         self.dim_reduction_2 = nn.Conv(self.base_channels, (1, 1),
-                                       use_bias=False)
+                                       use_bias=False, dtype=self.dtype)
         self.smooth_1 = nn.Conv(2 * self.base_channels, (3, 3),
-                                padding=[(1, 1), (1, 1)], use_bias=False)
+                                padding=[(1, 1), (1, 1)], use_bias=False,
+                                dtype=self.dtype)
         self.smooth_2 = nn.Conv(self.base_channels, (3, 3),
-                                padding=[(1, 1), (1, 1)], use_bias=False)
+                                padding=[(1, 1), (1, 1)], use_bias=False,
+                                dtype=self.dtype)
 
     def _upsample_add(self, x, y):
         N, H, W, C = y.shape

@@ -26,15 +26,16 @@ class ConvBnRelu(nn.Module):
     kernel: int = 3
     stride: int = 1
     relu: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         k = self.kernel
         x = nn.Conv(self.ch, (k, k), strides=(self.stride, self.stride),
                     padding=[( (k - 1) // 2,) * 2] * 2, use_bias=False,
-                    kernel_init=_kaiming)(x)
+                    kernel_init=_kaiming, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(x)
+                         epsilon=1e-5, dtype=self.dtype)(x)
         return nn.relu(x) if self.relu else x
 
 
@@ -42,6 +43,7 @@ class Conv3dBnRelu(nn.Module):
     ch: int
     kernel: int = 3
     stride: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -49,9 +51,9 @@ class Conv3dBnRelu(nn.Module):
         p = (k - 1) // 2
         x = nn.Conv(self.ch, (k, k, k), strides=(self.stride,) * 3,
                     padding=[(p, p)] * 3, use_bias=False,
-                    kernel_init=_kaiming)(x)
+                    kernel_init=_kaiming, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(x)
+                         epsilon=1e-5, dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -61,15 +63,16 @@ class Deconv3dBnRelu(nn.Module):
     bit-near (validated against torch) — required for checkpoint ports."""
 
     ch: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.ConvTranspose(self.ch, (3, 3, 3), strides=(2, 2, 2),
                              padding=[(1, 2)] * 3, use_bias=False,
                              transpose_kernel=True,
-                             kernel_init=_kaiming)(x)
+                             kernel_init=_kaiming, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(x)
+                         epsilon=1e-5, dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -78,6 +81,7 @@ class DCNLayer(nn.Module):
 
     ch: int
     kernel: int = 3
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -86,10 +90,15 @@ class DCNLayer(nn.Module):
         om = nn.Conv(3 * taps, (k, k), padding=[((k - 1) // 2,) * 2] * 2,
                      kernel_init=nn.initializers.zeros,
                      bias_init=nn.initializers.zeros,
-                     name="conv_offset_mask")(x)
+                     name="conv_offset_mask", dtype=self.dtype)(x)
         o1, o2, m = jnp.split(om, 3, axis=-1)
-        offset = jnp.stack([o1, o2], axis=-1).reshape(*x.shape[:3], 2 * taps)
+        # offsets are SAMPLE COORDINATES: keep them f32 (bf16 would quantize
+        # positions to ~2px at 640-wide maps)
+        offset = jnp.stack([o1, o2], axis=-1).astype(jnp.float32) \
+            .reshape(*x.shape[:3], 2 * taps)
         mask = nn.sigmoid(m)
         weight = self.param("weight", _kaiming, (k, k, x.shape[-1], self.ch))
         bias = self.param("bias", nn.initializers.zeros, (self.ch,))
-        return deform_conv2d(x, offset, mask, weight, bias)
+        dt = self.dtype or jnp.float32
+        return deform_conv2d(x.astype(dt), offset, mask.astype(dt),
+                             weight.astype(dt), bias.astype(dt))

@@ -29,12 +29,14 @@ STAGE_SCALES = (4, 2, 1)
 class PixelwiseNet(nn.Module):
     """1x1x1 3D convs + sigmoid + max over depth -> per-pixel view weight."""
 
+    dtype: object = None
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: (B, D, H, W, 1) similarity -> (B, H, W, 1)."""
-        x = Conv3dBnRelu(16, kernel=1)(x, train)
-        x = Conv3dBnRelu(8, kernel=1)(x, train)
-        x = nn.Conv(1, (1, 1, 1))(x)
+        x = Conv3dBnRelu(16, kernel=1, dtype=self.dtype)(x, train)
+        x = Conv3dBnRelu(8, kernel=1, dtype=self.dtype)(x, train)
+        x = nn.Conv(1, (1, 1, 1), dtype=self.dtype)(x)
         x = nn.sigmoid(x[..., 0])  # (B, D, H, W)
         return jnp.max(x, axis=1)[..., None]  # (B, H, W, 1)
 
@@ -43,18 +45,24 @@ class CostRegNet(nn.Module):
     """3D UNet over (D, H, W) cost volumes (module.py:424-455)."""
 
     base_channels: int = 8
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         b = self.base_channels
-        c0 = Conv3dBnRelu(b)(x, train)
-        c2 = Conv3dBnRelu(2 * b)(Conv3dBnRelu(2 * b, stride=2)(c0, train), train)
-        c4 = Conv3dBnRelu(4 * b)(Conv3dBnRelu(4 * b, stride=2)(c2, train), train)
-        y = Conv3dBnRelu(8 * b)(Conv3dBnRelu(8 * b, stride=2)(c4, train), train)
-        y = c4 + Deconv3dBnRelu(4 * b)(y, train)
-        y = c2 + Deconv3dBnRelu(2 * b)(y, train)
-        y = c0 + Deconv3dBnRelu(b)(y, train)
-        return nn.Conv(1, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=False)(y)
+        dt = self.dtype
+        c0 = Conv3dBnRelu(b, dtype=dt)(x, train)
+        c2 = Conv3dBnRelu(2 * b, dtype=dt)(
+            Conv3dBnRelu(2 * b, stride=2, dtype=dt)(c0, train), train)
+        c4 = Conv3dBnRelu(4 * b, dtype=dt)(
+            Conv3dBnRelu(4 * b, stride=2, dtype=dt)(c2, train), train)
+        y = Conv3dBnRelu(8 * b, dtype=dt)(
+            Conv3dBnRelu(8 * b, stride=2, dtype=dt)(c4, train), train)
+        y = c4 + Deconv3dBnRelu(4 * b, dtype=dt)(y, train)
+        y = c2 + Deconv3dBnRelu(2 * b, dtype=dt)(y, train)
+        y = c0 + Deconv3dBnRelu(b, dtype=dt)(y, train)
+        return nn.Conv(1, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=False,
+                       dtype=dt)(y)
 
 
 class TransMVSNet(nn.Module):
@@ -66,14 +74,26 @@ class TransMVSNet(nn.Module):
     depth_intervals_ratio: Sequence[float] = (4, 2, 1)
     cr_base_chs: Sequence[int] = (8, 8, 8)
     base_channels: int = 8
+    # "bfloat16" runs convs/DCN/FMT/cost volumes in bf16 (params stay f32;
+    # geometry, softmax and depth regression stay f32) — ~1.3x on the chip
+    # with depth deltas well under the hypothesis spacing (PERFORMANCE.md
+    # round 3). Default f32 = reference parity.
+    compute_dtype: str = "float32"
+
+    @property
+    def _dt(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
 
     def setup(self):
-        self.feature = FeatureNet(base_channels=self.base_channels)
-        self.fmt_with_pathway = FMTWithPathway(base_channels=self.base_channels)
+        dt = self._dt
+        self.feature = FeatureNet(base_channels=self.base_channels, dtype=dt)
+        self.fmt_with_pathway = FMTWithPathway(
+            base_channels=self.base_channels, dtype=dt)
         self.cost_regularization = [
-            CostRegNet(base_channels=self.cr_base_chs[i], name=f"costreg_{i}")
+            CostRegNet(base_channels=self.cr_base_chs[i], dtype=dt,
+                       name=f"costreg_{i}")
             for i in range(len(self.ndepths))]
-        self.pixel_wise_net = PixelwiseNet()
+        self.pixel_wise_net = PixelwiseNet(dtype=dt)
 
     def _depth_net(self, stage_idx, features, proj_mats, depth_values,
                    view_weights, train):
@@ -106,7 +126,8 @@ class TransMVSNet(nn.Module):
         similarity = sim_sum / w_sum  # (B, D, h, w, 1)
 
         cost = self.cost_regularization[stage_idx](similarity, train)[..., 0]
-        prob_volume = jax.nn.softmax(cost, axis=1)  # (B, D, h, w)
+        # prob volume / WTA in f32 regardless of compute dtype
+        prob_volume = jax.nn.softmax(cost.astype(jnp.float32), axis=1)
         depth = depth_wta(prob_volume, depth_values)
         conf = jnp.max(prob_volume, axis=1)
         out = {"depth": depth, "photometric_confidence": conf,
@@ -126,7 +147,20 @@ class TransMVSNet(nn.Module):
         depth_max = depth_values[:, -1]
         depth_interval = (depth_max - depth_min) / depth_values.shape[1]
 
-        features = [self.feature(imgs[:, v], train) for v in range(V)]
+        if train:
+            # per-view calls: BatchNorm batch statistics are computed per
+            # view, exactly like the reference's per-view feature() calls
+            # (TransMVSNet.py:126-128)
+            features = [self.feature(imgs[:, v], train) for v in range(V)]
+        else:
+            # inference (running BN stats): one batched trunk over B*V
+            # images is bit-identical per view and gives XLA one large
+            # conv program instead of V copies
+            fall = self.feature(imgs.reshape(B * V, H, W, 3), train)
+            features = [
+                jax.tree.map(
+                    lambda a, v=v: a.reshape(B, V, *a.shape[1:])[:, v], fall)
+                for v in range(V)]
         features = self.fmt_with_pathway(features)
 
         outputs = {}

@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from diner_tpu.image_ops import grid_sample
+from diner_tpu.image_ops.grid_sample import pack_quad
 
 
 def deform_conv2d(x, offset, mask, weight, bias=None):
@@ -27,34 +27,83 @@ def deform_conv2d(x, offset, mask, weight, bias=None):
     x: (N, H, W, C); offset: (N, H, W, 2*K*K) interleaved (dy, dx) per kernel
     tap (row-major); mask: (N, H, W, K*K) in [0, 1]; weight: (K, K, C, O).
     Returns (N, H, W, O). Out-of-image taps read zeros (torchvision semantics).
+
+    TPU note: the bilinear tap fetch is ONE row-gather per tap from a
+    quad-packed (pack_quad) 1-px zero-padded copy of x, instead of 4 separate
+    corner gathers — the v5e gather unit is issue-rate bound, so this is ~4x
+    on the dominant cost of the FeatureNet DCN heads (PERFORMANCE.md round 3).
+    Zero padding makes it EXACT: every bilinear window around a clipped
+    sample position lies inside the padded image, and any corner outside the
+    original image reads a stored zero (torchvision's zeros semantics), so no
+    window clamping or corner masking is needed.
     """
     N, H, W, C = x.shape
     K = weight.shape[0]
     taps = K * K
     pad = (K - 1) // 2
 
-    ky, kx = jnp.meshgrid(jnp.arange(K, dtype=x.dtype) - pad,
-                          jnp.arange(K, dtype=x.dtype) - pad, indexing="ij")
+    # sample COORDINATES stay f32 even when features are bf16 (bf16 would
+    # quantize positions to ~2px on 640-wide maps); only the 4-corner blend
+    # weights drop to the feature dtype
+    f32 = jnp.float32
+    ky, kx = jnp.meshgrid(jnp.arange(K, dtype=f32) - pad,
+                          jnp.arange(K, dtype=f32) - pad, indexing="ij")
     ky = ky.reshape(-1)  # (taps,)
     kx = kx.reshape(-1)
 
-    gy, gx = jnp.meshgrid(jnp.arange(H, dtype=x.dtype),
-                          jnp.arange(W, dtype=x.dtype), indexing="ij")
-    off = offset.reshape(N, H, W, taps, 2)
+    gy, gx = jnp.meshgrid(jnp.arange(H, dtype=f32),
+                          jnp.arange(W, dtype=f32), indexing="ij")
+    off = offset.reshape(N, H, W, taps, 2).astype(f32)
     sy = gy[None, :, :, None] + ky + off[..., 0]  # (N, H, W, taps)
     sx = gx[None, :, :, None] + kx + off[..., 1]
 
-    # bilinear gather with zero padding, expressed through grid_sample
-    # (align_corners=False unnormalization inverse: u = (px + .5) / W * 2 - 1)
-    u = (sx + 0.5) / W * 2.0 - 1.0
-    v = (sy + 0.5) / H * 2.0 - 1.0
-    uv = jnp.stack([u, v], axis=-1).reshape(N, H * W * taps, 2)
-    samples = grid_sample(x, uv, mode="bilinear", padding_mode="zeros")
-    samples = samples.reshape(N, H, W, taps, C)
+    # clip to [-1, size]: at the clip value the surviving bilinear corner is
+    # a stored zero, so every clipped (fully-outside) sample evaluates to
+    # exactly 0 — matching unclipped zeros-padding semantics
+    sx = jnp.clip(sx, -1.0, float(W))
+    sy = jnp.clip(sy, -1.0, float(H))
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = (sx - x0)[..., None].astype(x.dtype)
+    wy = (sy - y0)[..., None].astype(x.dtype)
 
-    samples = samples * mask[..., None]
-    out = jnp.einsum("nhwkc,kco->nhwo", samples,
-                     weight.reshape(taps, C, weight.shape[-1]))
+    xq = pack_quad(jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))))
+    xq = xq.reshape(N, (H + 2) * (W + 2), 4 * C)
+    idx = ((y0.astype(jnp.int32) + 1) * (W + 2)
+           + (x0.astype(jnp.int32) + 1))  # (N, H, W, taps)
+
+    # scan over the K*K taps, accumulating the output: only ONE tap's
+    # gathered rows are live at a time. A single all-taps gather materializes
+    # (N, H*W*taps, 4C) — padded to 128 lanes by the (8, 128) tiling that is
+    # f32[5, 2.95M, 128] = 7 GiB at the batched stage-3 head, and its
+    # (N, H, W, taps, 4C) reshape another 12.5 GiB -> OOM on a 16 GB chip.
+    # The gather unit is issue-rate bound, so 9 smaller gathers cost the same
+    # as one big one.
+    O = weight.shape[-1]
+    xs = (jnp.moveaxis(idx.reshape(N, -1, taps), -1, 0),        # (taps, N, HW)
+          jnp.moveaxis(wx.reshape(N, -1, taps), -1, 0),
+          jnp.moveaxis(wy.reshape(N, -1, taps), -1, 0),
+          jnp.moveaxis(mask.astype(x.dtype).reshape(N, -1, taps), -1, 0),
+          weight.reshape(taps, C, O))
+
+    def tap_body(acc, tap):
+        idx_k, wx_k, wy_k, m_k, w_k = tap
+        rows = jnp.take_along_axis(xq, idx_k[..., None], axis=1)  # (N, HW, 4C)
+        p00 = rows[..., 0 * C:1 * C]
+        p01 = rows[..., 1 * C:2 * C]  # right
+        p10 = rows[..., 2 * C:3 * C]  # down
+        p11 = rows[..., 3 * C:4 * C]  # diag
+        wx_k = wx_k[..., None]
+        wy_k = wy_k[..., None]
+        s = (p00 * (1 - wx_k) * (1 - wy_k) + p01 * wx_k * (1 - wy_k)
+             + p10 * (1 - wx_k) * wy_k + p11 * wx_k * wy_k)
+        s = s * m_k[..., None]
+        return acc + jnp.einsum("npc,co->npo", s, w_k,
+                                preferred_element_type=jnp.float32), None
+
+    acc0 = jnp.zeros((N, H * W, O), jnp.float32)
+    out, _ = jax.lax.scan(tap_body, acc0, xs)
+    out = out.astype(x.dtype).reshape(N, H, W, O)
     if bias is not None:
         out = out + bias
     return out
@@ -69,9 +118,12 @@ def homo_warping(src_fea, src_proj, ref_proj, depth_values):
     """
     B, H, W, C = src_fea.shape
     D = depth_values.shape[1]
-    dtype = src_fea.dtype
+    # geometry stays f32 even for bf16 features: pixel coordinates at
+    # 640-wide maps need more than bf16's 8 mantissa bits
+    dtype = jnp.float32
 
-    proj = jnp.einsum("bij,bjk->bik", src_proj, jnp.linalg.inv(ref_proj))
+    proj = jnp.einsum("bij,bjk->bik", src_proj.astype(dtype),
+                      jnp.linalg.inv(ref_proj.astype(dtype)))
     rot = proj[:, :3, :3]
     trans = proj[:, :3, 3]
 
@@ -79,19 +131,38 @@ def homo_warping(src_fea, src_proj, ref_proj, depth_values):
                           jnp.arange(W, dtype=dtype), indexing="ij")
     xyz = jnp.stack([gx.ravel(), gy.ravel(), jnp.ones(H * W, dtype)], 0)  # (3, HW)
     rot_xyz = jnp.einsum("bij,jn->bin", rot, xyz)  # (B, 3, HW)
-    d = depth_values.reshape(B, 1, D, -1)  # (B, 1, D, 1 or HW)
+    d = depth_values.astype(dtype).reshape(B, 1, D, -1)  # (B, 1, D, 1 or HW)
     pts = rot_xyz[:, :, None, :] * d + trans[:, :, None, None]  # (B, 3, D, HW)
 
     invalid = pts[:, 2] < 1e-6  # (B, D, HW)
     z = jnp.where(invalid, 1.0, pts[:, 2])
-    u = pts[:, 0] / z / ((W - 1) / 2.0) - 1.0
-    v = pts[:, 1] / z / ((H - 1) / 2.0) - 1.0
-    u = jnp.where(invalid, -99.0, u)
-    v = jnp.where(invalid, -99.0, v)
-    uv = jnp.stack([u, v], axis=-1).reshape(B, D * H * W, 2)
+    # pixel coords (align_corners=True convention: x = (u+1)/2*(W-1))
+    px = pts[:, 0] / z  # (B, D, HW)
+    py = pts[:, 1] / z
+    px = jnp.where(invalid, -99.0, px)
+    py = jnp.where(invalid, -99.0, py)
 
-    warped = grid_sample(src_fea, uv, mode="bilinear", padding_mode="zeros",
-                         align_corners=True)
+    # ONE quad-gather per sample instead of 4 corner gathers (the gather
+    # unit is issue-rate bound — see deform_conv2d): bilinear-with-zeros from
+    # a quad-packed 1-px zero-padded copy; clipping to [-1, size] keeps every
+    # window in range and makes fully-outside samples exactly 0
+    px = jnp.clip(px, -1.0, float(W))
+    py = jnp.clip(py, -1.0, float(H))
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    wx = (px - x0).reshape(B, -1, 1).astype(src_fea.dtype)
+    wy = (py - y0).reshape(B, -1, 1).astype(src_fea.dtype)
+    sq = pack_quad(jnp.pad(src_fea, ((0, 0), (1, 1), (1, 1), (0, 0))))
+    sq = sq.reshape(B, (H + 2) * (W + 2), 4 * C)
+    idx = ((y0.astype(jnp.int32) + 1) * (W + 2)
+           + (x0.astype(jnp.int32) + 1)).reshape(B, -1)
+    rows = jnp.take_along_axis(sq, idx[..., None], axis=1)  # (B, DHW, 4C)
+    p00 = rows[..., 0 * C:1 * C]
+    p01 = rows[..., 1 * C:2 * C]
+    p10 = rows[..., 2 * C:3 * C]
+    p11 = rows[..., 3 * C:4 * C]
+    warped = (p00 * (1 - wx) * (1 - wy) + p01 * wx * (1 - wy)
+              + p10 * (1 - wx) * wy + p11 * wx * wy)
     return warped.reshape(B, D, H, W, C)
 
 
