@@ -53,10 +53,55 @@ def _setup(compute_dtype="float32"):
     return net, variables, imgs, projs, dvals
 
 
+def bench_train(net, variables, imgs, projs, dvals, iters):
+    """One DTU-recipe training step (B=1, masked entropy loss over the three
+    stages with dlossw 0.5/1/2 — deps/TransMVSNet/train.py:72, models/
+    module.py:480-553): encode + cascade + backward + adam update."""
+    import optax
+
+    from diner_tpu.mvs import mvs_loss
+    from diner_tpu.utils.jitinit import jit_init
+    from diner_tpu.utils.profiling import benchmark
+
+    rng = np.random.RandomState(1)
+    variables = jit_init(lambda k, i, p, d: net.init(k, i, p, d, train=True))(
+        jax.random.PRNGKey(0), imgs, projs, dvals)
+    gt, msk = {}, {}
+    for si, scale in enumerate((4, 2, 1)):
+        h, w = H // scale, W // scale
+        gt[f"stage{si + 1}"] = jnp.asarray(
+            rng.uniform(425.0, 905.0, (1, h, w)).astype(np.float32))
+        msk[f"stage{si + 1}"] = jnp.asarray(
+            (rng.rand(1, h, w) > 0.1).astype(np.float32))
+
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def step(params, batch_stats, opt_state):
+        def loss_fn(p):
+            out, mut = net.apply({"params": p, "batch_stats": batch_stats},
+                                 imgs, projs, dvals, train=True,
+                                 mutable=["batch_stats"])
+            total, _ = mvs_loss(out, gt, msk, dlossw=(0.5, 1.0, 2.0))
+            return total, mut["batch_stats"]
+
+        (total, stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), stats, opt_state, total
+
+    res = benchmark(step, variables["params"], variables["batch_stats"],
+                    opt_state, warmup=2, iters=iters)
+    return res["median_s"]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--components", action="store_true",
                     help="also time feature/FMT vs cost-volume stages")
+    ap.add_argument("--train", action="store_true",
+                    help="also time a full training step (fwd+bwd+adam)")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
@@ -83,6 +128,10 @@ def main():
         "compute_dtype": args.dtype,
         "device": str(jax.devices()[0]),
     }
+
+    if args.train:
+        dt_t = bench_train(net, variables, imgs, projs, dvals, args.iters)
+        line["train_steps_per_sec"] = round(1.0 / dt_t, 2)
 
     if args.components:
         from diner_tpu.mvs.ops import homo_warping
