@@ -183,7 +183,10 @@ def train(model, train_batches: Iterable, logdir, *,
     # (>=: resuming an already-finished run re-scores the final checkpoint)
     if val_every and val_fn and 0 < max_steps and max_steps >= start_step and is_host0:
         val_fn(_host_local_state(state), max_steps)
-    save_checkpoint(logdir / "ckpts", state, step + 1 if max_steps else 0)
+    if max_steps > start_step:
+        # only if steps actually ran: re-saving on a no-op resume would creep
+        # the checkpoint step past max_steps and break later re-scoring
+        save_checkpoint(logdir / "ckpts", state, step + 1)
     return state
 
 
