@@ -20,7 +20,9 @@ on this scene — see PERFORMANCE.md round 3). Also reported:
 
 vs_baseline: BASELINE.json publishes no reference numbers; the PyTorch/A100
 renderer is estimated at ~5.0e4 rays/s (SURVEY.md §3.1). vs_baseline =
-anchor rays/s / 5.0e4, so the >=10x north star reads as >=10 across 8 chips.
+fast-path rays/s / 5.0e4 (the headline `value` field), so the >=10x north
+star reads as >=10 across 8 chips; the slower anchor/exact paths are
+reported alongside for per-semantics comparison.
 """
 
 from __future__ import annotations

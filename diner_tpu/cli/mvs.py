@@ -330,14 +330,17 @@ def cmd_write(args):
 
     idxs = process_local_slice(len(ds))
 
-    if getattr(args, "data_parallel", False) and len(jax.devices()) > 1:
+    if getattr(args, "data_parallel", False) and len(jax.local_devices()) > 1:
         # multi-chip: batch n_devices samples per step, shard the batch
         # axis over a `data` mesh (params replicated; GSPMD runs each
         # sample's cascade on its own chip — inference is embarrassingly
-        # batch-parallel)
+        # batch-parallel). LOCAL devices only: each process already owns a
+        # dataset slice, so its mesh must span only addressable chips —
+        # a global mesh can't device_put host-local numpy batches, and
+        # np.asarray on a non-addressable output would raise
         from diner_tpu.parallel import make_mesh, replicate, shard_batch
 
-        mesh = make_mesh(axis_names=("data",))
+        mesh = make_mesh(axis_names=("data",), devices=jax.local_devices())
         B = mesh.devices.size
         variables = replicate(variables, mesh)
         done = 0
@@ -437,10 +440,12 @@ def cmd_eval(args):
 
     idxs = process_local_slice(len(ds))
 
-    if getattr(args, "data_parallel", False) and len(jax.devices()) > 1:
+    if getattr(args, "data_parallel", False) and len(jax.local_devices()) > 1:
+        # local devices only — see cmd_write: per-process slice x per-chip
+        # batch parallelism; a global mesh would mix hosts' data
         from diner_tpu.parallel import make_mesh, replicate, shard_batch
 
-        mesh = make_mesh(axis_names=("data",))
+        mesh = make_mesh(axis_names=("data",), devices=jax.local_devices())
         B = mesh.devices.size
         variables = replicate(variables, mesh)
         done = 0

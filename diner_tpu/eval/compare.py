@@ -47,7 +47,8 @@ def _violins(reports, names, metrics, outdir, plt):
         best = int(np.argmax(means) if opt == "+" else np.argmin(means))
         worst = int(np.argmin(means) if opt == "+" else np.argmax(means))
         colors = ["#1f77b4"] * len(names)
-        colors[best], colors[worst] = "green", "red"
+        colors[worst] = "red"
+        colors[best] = "green"  # after red: a single model is best, not worst
 
         x = np.arange(len(names))
         parts = ax.violinplot(data, positions=x, showextrema=False, widths=0.9)
@@ -66,17 +67,24 @@ def _violins(reports, names, metrics, outdir, plt):
     plt.close(fig)
 
 
-def _example_sheets(report_dirs, names, outdir, imageio, plt):
+def _example_sheets(reports, report_dirs, names, outdir, imageio, plt):
     """Restack each model's examples.png rows per example across models
     (eval_suite.py:246-277)."""
     strips = {}
-    for name, d in zip(names, report_dirs):
+    # examples.png has min(N_EXAMPLE_PLOTS, n_pairs) rows (suite.py
+    # _write_examples) — splitting into a fixed 5 would straddle row
+    # boundaries for folders with fewer pairs
+    n_rows = min(N_EXAMPLE_PLOTS,
+                 *[len(rep) for rep in reports])
+    if n_rows <= 0:
+        return
+    for name, d, rep in zip(names, report_dirs, reports):
         p = Path(d) / EXAMPLE_PLOT_FILENAME
         if not p.exists():
             return
-        strips[name] = np.array_split(imageio.imread(p), N_EXAMPLE_PLOTS,
-                                      axis=0)
-    for i in range(N_EXAMPLE_PLOTS):
+        strips[name] = np.array_split(
+            imageio.imread(p), min(N_EXAMPLE_PLOTS, len(rep)), axis=0)
+    for i in range(n_rows):
         rows = [strips[n][i][..., :3] for n in names]
         w = max(r.shape[1] for r in rows)
         rows = [np.pad(r, ((0, 0), (0, w - r.shape[1]), (0, 0)),
@@ -111,6 +119,11 @@ def _difference_plots(reports, names, report_dirs, metrics, outdir,
             for b in by_name:
                 p = Path(b[stem]["path"])
                 if not p.exists():
+                    # reports written by older evaluate_folder versions
+                    # stored cwd-relative paths
+                    print(f"compare: missing prediction {p} — run "
+                          "compare_evaluations from the directory "
+                          "evaluate_folder ran in, or re-score")
                     preds.append(None)
                     continue
                 preds.append(np.asarray(imageio.imread(p),
@@ -164,7 +177,7 @@ def compare_evaluations(report_dirs, names, outdir, n_examples: int = 3):
     metrics = [k for k in reports[0][0] if k in common]
 
     _violins(reports, names, metrics, outdir, plt)
-    _example_sheets(report_dirs, names, outdir, imageio, plt)
+    _example_sheets(reports, report_dirs, names, outdir, imageio, plt)
     _difference_plots(reports, names, report_dirs, metrics, outdir,
                       n_examples, imageio, plt)
     return outdir

@@ -26,6 +26,8 @@ def l1(pred, gt):
 
 def psnr(pred, gt, data_range: float = 1.0):
     err = mse(pred, gt)
+    if err == 0:
+        return float("inf")  # identical images (skimage semantics)
     return float(10.0 * np.log10((data_range ** 2) / err))
 
 

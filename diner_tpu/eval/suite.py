@@ -49,7 +49,14 @@ def evaluate_folder(source_dir, outdir, lpips_fn: Optional[object] = None,
 
     gt_paths = sorted(p for p in source_dir.iterdir()
                       if p.name.endswith(SUFFIXES["gt"]))
-    pred_paths = [p.parent / p.name.replace(SUFFIXES["gt"], SUFFIXES["pred"])
+    if not gt_paths:
+        raise FileNotFoundError(
+            f"no '*{SUFFIXES['gt']}' files in {source_dir} — nothing to "
+            "score (np.mean([]) would write NaN averages)")
+    # absolute: compare_evaluations reads these paths later, possibly from
+    # a different working directory
+    pred_paths = [(p.parent / p.name.replace(SUFFIXES["gt"],
+                                             SUFFIXES["pred"])).resolve()
                   for p in gt_paths]
 
     scores = {k: [] for k in ("ssim", "psnr", "l2", "l1")

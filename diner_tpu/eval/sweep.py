@@ -14,6 +14,7 @@ from pathlib import Path
 import numpy as np
 
 from diner_tpu.data.contract import collate, to_device_batch
+from diner_tpu.eval.predict import _save
 from diner_tpu.image_ops import colormap
 
 
@@ -46,7 +47,6 @@ def create_cam_sweep(render_fn, dataset, outdir, nframes: int = 30,
                      n_cam_sweeps: int = 4, fps: int = 5, sample_idcs=None):
     """render_fn(batch_arrays, target_extrinsics (1,4,4), seed) ->
     (rgb (1, H, W, 3), depth (1, H, W)). Writes one mp4 per chosen sample."""
-    import imageio.v2 as imageio
 
     outdir = Path(outdir)
     os.makedirs(outdir, exist_ok=True)
@@ -64,7 +64,11 @@ def create_cam_sweep(render_fn, dataset, outdir, nframes: int = 30,
             rgbs.append(np.asarray(rgb)[0])
             depths.append(np.asarray(depth)[0])
         rgbs = np.stack(rgbs)
-        depths = colormap(np.stack(depths)[..., None])
+        d = np.stack(depths)[..., None]
+        # one normalization range for the whole sweep: per-frame min/max
+        # (the colormap default) makes the depth half of the video flicker
+        # as the closest visible depth changes with the orbiting camera
+        depths = colormap(d, vmin=float(d.min()), vmax=float(d.max()))
 
         frames = np.concatenate([rgbs, depths], axis=1)  # stack vertically
         order = np.concatenate([np.arange(nframes),
@@ -72,6 +76,5 @@ def create_cam_sweep(render_fn, dataset, outdir, nframes: int = 30,
         name = sample.get("sample_name", f"sweep_{idx}")
         save_video(frames[order], outdir / f"{name}.mp4", fps)
         refs = np.concatenate(list(sample["src_rgbs"]), axis=1)
-        imageio.imwrite(outdir / f"{name}-ref_imgs.jpg",
-                        (np.clip(refs, 0, 1) * 255).astype(np.uint8))
+        _save(outdir / f"{name}-ref_imgs.jpg", refs)
     return outdir

@@ -73,6 +73,10 @@ def index_latent_anchored(enc: SceneEncoding, uv, epi_aux, n_anchors: int):
 
     uv: (SB, NV, B, 2) ray-major with B = NR * NS. Returns (SB, NV, B, C).
     """
+    if n_anchors < 2:
+        raise ValueError("latent_anchors needs >= 2 anchors per chord "
+                         "(1 would divide by zero; use 0 for the exact "
+                         "bilinear fetch)")
     SB, NV, B, _ = uv.shape
     NR = epi_aux.uv0.shape[2]
     NS = B // NR

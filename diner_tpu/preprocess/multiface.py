@@ -196,10 +196,17 @@ def extract_tar(tar_path, dest=None, marker: bool = True):
 
     tar_path = Path(tar_path)
     dest = Path(dest) if dest else tar_path.parent
+    dest_r = dest.resolve()
     with tarfile.open(tar_path) as tf:
         for m in tf.getmembers():
-            target = (dest / m.name).resolve()
-            if not str(target).startswith(str(dest.resolve())):
+            # link members can point outside dest and later members can
+            # write through them — reject outright
+            if m.issym() or m.islnk():
+                raise ValueError(f"link tar member not allowed: {m.name}")
+            target = (dest_r / m.name).resolve()
+            # component-wise containment (startswith would accept a sibling
+            # like <dest>-evil/)
+            if target != dest_r and dest_r not in target.parents:
                 raise ValueError(f"unsafe tar member path: {m.name}")
         tf.extractall(dest)
     if marker:

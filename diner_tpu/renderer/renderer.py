@@ -131,7 +131,7 @@ def render_flat_pipelined(gather_fn, mlp_fn, rng, flat, enc: SceneEncoding,
     carry0 = prep(keys[0], chunks[0])
     if n_chunks == 1:
         rgb, depth = compute(carry0)
-        rgb, depth = rgb[:, None].swapaxes(0, 1), depth[:, None].swapaxes(0, 1)
+        rgb, depth = rgb[None], depth[None]  # leading chunk axis (C=1)
     else:
         carry, (rgb, depth) = jax.lax.scan(body, carry0,
                                            (keys[1:], chunks[1:]))

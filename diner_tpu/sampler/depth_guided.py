@@ -204,8 +204,18 @@ def surface_likelihoods(rays, z, enc: SceneEncoding, depth_diff_max: float,
         w0, w1 = o_cam[..., 2], dirs_cam[..., 2]       # (SB, NV, NR)
 
         z0, zL = z[:, None, :, 0], z[:, None, :, -1]   # (SB, NV, NR)
-        uv0 = (U0 + z0[..., None] * U1) / (w0 + z0 * w1)[..., None]
-        uvL = (U0 + zL[..., None] * U1) / (w0 + zL * w1)[..., None]
+        den0, denL = w0 + z0 * w1, w0 + zL * w1
+        # behind-camera guard: a chord endpoint with cam depth <= 0 has no
+        # valid projection (the exact path's gather returns std=0 there via
+        # out-of-pad uv); sanitize the chord so downstream int casts and
+        # gathers see finite values, and gate p to 0 below
+        chord_ok = (den0 > 1e-9) & (denL > 1e-9)       # (SB, NV, NR)
+        uv0 = jnp.where(chord_ok[..., None],
+                        (U0 + z0[..., None] * U1)
+                        / jnp.where(den0 == 0, 1.0, den0)[..., None], 0.0)
+        uvL = jnp.where(chord_ok[..., None],
+                        (U0 + zL[..., None] * U1)
+                        / jnp.where(denL == 0, 1.0, denL)[..., None], 0.0)
         duv = uvL - uv0
         dd = jnp.sum(duv * duv, axis=-1)               # (SB, NV, NR)
         P0 = jnp.sum((U0 - w0[..., None] * uv0) * duv, axis=-1)
@@ -213,8 +223,10 @@ def surface_likelihoods(rays, z, enc: SceneEncoding, depth_diff_max: float,
 
         z_nv = z[:, None]                              # (SB, 1, NR, NC)
         z_cam = w0[..., None] + z_nv * w1[..., None]   # (SB, NV, NR, NC)
+        front = chord_ok[..., None] & (z_cam > 1e-9)   # (SB, NV, NR, NC)
+        z_cam_safe = jnp.where(jnp.abs(z_cam) > 1e-9, z_cam, 1.0)
         t = (P0[..., None] + z_nv * P1[..., None]) \
-            / (z_cam * jnp.where(dd == 0, 1.0, dd)[..., None])
+            / (z_cam_safe * jnp.where(dd == 0, 1.0, dd)[..., None])
         s_par = jnp.where(dd[..., None] > 1e-12, t, 0.5)
         a = jnp.clip((jnp.clip(s_par, 0.0, 1.0) * A).astype(jnp.int32),
                      0, A - 1)
@@ -241,13 +253,14 @@ def surface_likelihoods(rays, z, enc: SceneEncoding, depth_diff_max: float,
                 a.reshape(G, NC), vals.reshape(G, 3, A).astype(jnp.float32),
                 z_cam.reshape(G, NC), half_step.reshape(G, 1),
                 depth_diff_max)
-            p = p.reshape(SB, NV, NR, NC)
+            p = jnp.where(front, p.reshape(SB, NV, NR, NC), 0.0)
             return _finish_likelihood(p, aux, return_aux)
         # portable fallback (CPU tests, other backends): remap per candidate,
         # then the same XLA likelihood math as the exact path
         vals = jnp.stack([ad, astd, acos], axis=-1)  # (SB, NV, NR, A, 3)
         out = _remap_monotone(vals, a)
         ref_depth, ref_std, cos = out[..., 0], out[..., 1], out[..., 2]
+        ref_std = jnp.where(front, ref_std, 0.0)  # std=0 -> invalid below
     else:
         xyz = rays[..., None, :3] + z[..., None] * rays[..., None, 3:6]
         xyz = xyz.reshape(SB, B, 3)
@@ -354,7 +367,11 @@ def sample_depthguided(rng, rays, enc: SceneEncoding, cfg: RenderConfig,
         # negative -> exploding negative alpha, and a draw below `near`
         # sorts before the z==0 empty markers, breaking fill_uniform's
         # slot invariant. In-range draws are untouched.
-        g = jnp.clip(g, rays[..., None, 6], rays[..., None, 7])
+        # lower bound strictly > 0: with near == 0 a clamped draw would be
+        # exactly 0.0 and collide with the empty-slot sentinel, silently
+        # turning a gaussian sample into a uniform refill
+        g = jnp.clip(g, jnp.maximum(rays[..., None, 6], 1e-6),
+                     rays[..., None, 7])
         g = jnp.where(hit, g, 0.0)
         z_sel = jnp.concatenate([z_sel[..., : -cfg.n_gaussian], g], axis=-1)
 

@@ -177,16 +177,18 @@ def train(model, train_batches: Iterable, logdir, *,
         if val_every and val_fn and step > 0 and step % val_every == 0 and is_host0:
             val_fn(_host_local_state(state), step)
 
+    if max_steps > start_step:
+        # only if steps actually ran: re-saving on a no-op resume would creep
+        # the checkpoint step past max_steps and break later re-scoring.
+        # Saved BEFORE the final validation — val_fn renders full images (a
+        # realistic crash/OOM site) and must not be able to lose the run.
+        save_checkpoint(logdir / "ckpts", state, step + 1)
     # final validation at max_steps: the loop body runs steps
     # [start_step, max_steps), so the in-loop val never sees the finished
     # model — without this the last recorded score trails by up to val_every
     # (>=: resuming an already-finished run re-scores the final checkpoint)
     if val_every and val_fn and 0 < max_steps and max_steps >= start_step and is_host0:
         val_fn(_host_local_state(state), max_steps)
-    if max_steps > start_step:
-        # only if steps actually ran: re-saving on a no-op resume would creep
-        # the checkpoint step past max_steps and break later re-scoring
-        save_checkpoint(logdir / "ckpts", state, step + 1)
     return state
 
 

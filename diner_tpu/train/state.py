@@ -41,7 +41,10 @@ def make_optimizer(params, lr: float = 1e-4, lr_schedule: str = "constant",
     "cosine" (decay to lr/100 over lr_decay_steps, optional linear warmup) —
     a framework extension used by the synthetic-plateau study
     (PERFORMANCE.md round 3)."""
-    if lr_schedule == "cosine" and lr_decay_steps > 0:
+    if lr_schedule == "cosine" and lr_decay_steps <= 0:
+        raise ValueError("lr_schedule='cosine' requires lr_decay_steps > 0 "
+                         "(omitting it would silently train at constant lr)")
+    if lr_schedule == "cosine":
         if lr_warmup_steps > 0:
             sched = optax.warmup_cosine_decay_schedule(
                 0.0, lr, lr_warmup_steps, lr_decay_steps,

@@ -200,3 +200,36 @@ def test_render_eval_torch_ckpt_forces_reference_arch(tmp_path):
           "--out", str(out), "--n", "1"])
     scores = json.loads((out / "average_scores.json").read_text())
     assert np.isfinite(list(scores.values())).all()
+
+
+def test_final_checkpoint_saved_before_final_val(tmp_path):
+    """The finished model's checkpoint must survive a crash in the final
+    validation (val_fn renders full images — a realistic OOM site)."""
+    import pytest
+
+    from diner_tpu.cli.build import build_dataset, build_loader, build_diner
+    from diner_tpu.core.config import load_config
+    from diner_tpu.train.loop import restore_checkpoint, train as train_loop
+    from diner_tpu.train.state import create_train_state
+
+    conf = load_config("configs/train_synthetic.yaml")
+    train_set = build_dataset(conf["data"]["train"], stage="train")
+    loader = build_loader(conf["data"]["train"], train_set, True)
+    model = build_diner(conf, znear=train_set.znear, zfar=train_set.zfar)
+
+    import jax
+
+    def boom(state, step):
+        raise RuntimeError("val crashed")
+
+    logdir = tmp_path / "run"
+    # val_every > max_steps: only the final-validation call fires, and it
+    # crashes — the final checkpoint must already be on disk
+    with pytest.raises(RuntimeError, match="val crashed"):
+        train_loop(model, loader, logdir, max_steps=2, ckpt_every=0,
+                   log_every=1, val_every=5, val_fn=boom)
+    it = iter(loader)
+    example = next(it)
+    state = create_train_state(model, jax.random.PRNGKey(0), example)
+    _, step = restore_checkpoint(logdir / "ckpts", state)
+    assert step == 2  # the finished model was saved before val_fn ran

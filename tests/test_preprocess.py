@@ -381,3 +381,64 @@ def test_color_calibrate_pose_dir(tmp_path):
     before = np.abs(r0[interior] - r1[interior]).mean()
     after = np.abs(c0[interior] - c1[interior]).mean()
     assert after < before * 0.35, (after, before)
+
+
+def test_extract_tar_rejects_traversal_and_links(tmp_path):
+    """extract_tar must reject sibling-prefix traversal (a startswith check
+    would accept '<dest>-evil/') and link members (a symlink out of dest plus
+    a file through it escapes name-only checks)."""
+    import io
+    import tarfile
+
+    import pytest
+
+    from diner_tpu.preprocess.multiface import extract_tar
+
+    dest = tmp_path / "MULTIFACE"
+    dest.mkdir()
+
+    def make_tar(path, add):
+        with tarfile.open(path, "w") as tf:
+            add(tf)
+
+    # sibling-prefix traversal: ../MULTIFACE-evil/x resolves OUTSIDE dest but
+    # str-startswith(str(dest)) accepts it
+    evil = tmp_path / "evil.tar"
+
+    def add_evil(tf):
+        data = b"pwned"
+        info = tarfile.TarInfo("../MULTIFACE-evil/x")
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+
+    make_tar(evil, add_evil)
+    with pytest.raises(ValueError, match="unsafe tar member"):
+        extract_tar(evil, dest)
+    assert not (tmp_path / "MULTIFACE-evil").exists()
+
+    # symlink member
+    link = tmp_path / "link.tar"
+
+    def add_link(tf):
+        info = tarfile.TarInfo("out")
+        info.type = tarfile.SYMTYPE
+        info.linkname = "../../etc"
+        tf.addfile(info)
+
+    make_tar(link, add_link)
+    with pytest.raises(ValueError, match="link tar member"):
+        extract_tar(link, dest)
+
+    # a benign tar still extracts and drops the .unzip marker
+    good = tmp_path / "good.tar"
+
+    def add_good(tf):
+        data = b"ok"
+        info = tarfile.TarInfo("sub/file.txt")
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+
+    make_tar(good, add_good)
+    extract_tar(good, dest)
+    assert (dest / "sub" / "file.txt").read_bytes() == b"ok"
+    assert (tmp_path / "good.tar.unzip").exists()

@@ -180,3 +180,27 @@ def test_build_render_cfg_knobs():
     cfg2 = build_render_cfg({"kwargs": {"eval_chunk_rays": 1234,
                                         "n_prior_anchors": 128}})
     assert cfg2.eval_chunk_rays == 1234 and cfg2.n_prior_anchors == 128
+
+
+def test_cosine_schedule_requires_decay_steps():
+    """lr_schedule='cosine' without lr_decay_steps must raise, not silently
+    fall back to constant lr (the sweep-invalidating failure mode)."""
+    import pytest
+
+    from diner_tpu.train.state import make_optimizer
+
+    with pytest.raises(ValueError, match="lr_decay_steps"):
+        make_optimizer({"nerf": jnp.zeros(1)}, lr_schedule="cosine")
+    with pytest.raises(ValueError, match="unknown lr_schedule"):
+        make_optimizer({"nerf": jnp.zeros(1)}, lr_schedule="exp")
+
+
+def test_latent_anchors_one_raises():
+    """latent_anchors=1 would divide by zero in the anchor fraction — the
+    knob must fail loudly at trace time, not render NaNs."""
+    import pytest
+
+    from diner_tpu.models.pixelnerf import index_latent_anchored
+
+    with pytest.raises(ValueError, match="latent_anchors"):
+        index_latent_anchored(None, None, None, 1)

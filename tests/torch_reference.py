@@ -110,24 +110,6 @@ def depth2normal_torch(dmap, K):
     return n.permute(0, 3, 1, 2)
 
 
-def exponential_grid_sample_nearest(img, uv, pad_size=100, double_width=12.0):
-    """nearest/exponential sampling via a materialized padded image
-    (torch_helpers.py:99-121 semantics: replicate pad, border value scaled by
-    2^(chebyshev_dist/double_width), zero beyond pad_size)."""
-    B, C, H, W = img.shape
-    p = pad_size
-    padded = F.pad(img, [p] * 4, mode="replicate")
-    yy, xx = torch.meshgrid(torch.arange(H + 2 * p), torch.arange(W + 2 * p),
-                            indexing="ij")
-    dx = torch.clamp(torch.maximum(p - 1 - xx, xx - W - p + 1) + 1, min=0)
-    dy = torch.clamp(torch.maximum(p - 1 - yy, yy - H - p + 1) + 1, min=0)
-    d = torch.maximum(dx, dy).float()
-    padded = padded * torch.exp2(d / double_width)[None, None]
-    scale = torch.tensor([W / (W + 2 * p), H / (H + 2 * p)], dtype=uv.dtype)
-    return F.grid_sample(padded, (uv * scale).unsqueeze(2), mode="nearest",
-                         padding_mode="zeros", align_corners=False)[..., 0]
-
-
 class TorchReferenceStack:
     """Reference DINER forward at eval time, from a Lightning state_dict."""
 
