@@ -27,7 +27,7 @@ NDEPTHS = (48, 32, 8)
 NUMDEPTH = 192
 
 
-def _setup(compute_dtype="float32"):
+def _setup(compute_dtype="float32", batch: int = 1):
     from diner_tpu.mvs.net import TransMVSNet
     from diner_tpu.utils.jitinit import jit_init
 
@@ -35,7 +35,7 @@ def _setup(compute_dtype="float32"):
                       cr_base_chs=(8, 8, 8), base_channels=8,
                       compute_dtype=compute_dtype)
     rng = np.random.RandomState(0)
-    imgs = jnp.asarray(rng.rand(1, V, H, W, 3).astype(np.float32))
+    imgs = jnp.asarray(rng.rand(batch, V, H, W, 3).astype(np.float32))
     projs = {}
     for si, scale in enumerate((4, 2, 1)):
         K4 = np.eye(4, dtype=np.float32)
@@ -46,9 +46,12 @@ def _setup(compute_dtype="float32"):
             ext = np.eye(4, dtype=np.float32)
             ext[0, 3] = 4.0 * (v - V // 2)  # mm-scale DTU baselines
             stack.append(np.stack([ext, K4]))
-        projs[f"stage{si + 1}"] = jnp.asarray(np.stack(stack)[None])
-    dvals = jnp.asarray(np.linspace(425.0, 905.0, NUMDEPTH,
-                                    dtype=np.float32)[None])
+        projs[f"stage{si + 1}"] = jnp.asarray(
+            np.broadcast_to(np.stack(stack)[None],
+                            (batch, V, 2, 4, 4)).copy())
+    dvals = jnp.asarray(np.broadcast_to(
+        np.linspace(425.0, 905.0, NUMDEPTH, dtype=np.float32)[None],
+        (batch, NUMDEPTH)).copy())
     variables = jit_init(net.init)(jax.random.PRNGKey(0), imgs, projs, dvals)
     return net, variables, imgs, projs, dvals
 
@@ -64,15 +67,16 @@ def bench_train(net, variables, imgs, projs, dvals, iters):
     from diner_tpu.utils.profiling import benchmark
 
     rng = np.random.RandomState(1)
+    B = imgs.shape[0]
     variables = jit_init(lambda k, i, p, d: net.init(k, i, p, d, train=True))(
         jax.random.PRNGKey(0), imgs, projs, dvals)
     gt, msk = {}, {}
     for si, scale in enumerate((4, 2, 1)):
         h, w = H // scale, W // scale
         gt[f"stage{si + 1}"] = jnp.asarray(
-            rng.uniform(425.0, 905.0, (1, h, w)).astype(np.float32))
+            rng.uniform(425.0, 905.0, (B, h, w)).astype(np.float32))
         msk[f"stage{si + 1}"] = jnp.asarray(
-            (rng.rand(1, h, w) > 0.1).astype(np.float32))
+            (rng.rand(B, h, w) > 0.1).astype(np.float32))
 
     tx = optax.adam(1e-3)
     opt_state = tx.init(variables["params"])
@@ -105,11 +109,14 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--batch", type=int, default=1,
+                    help="samples per program (single-chip writer batching; "
+                         "maps/min counts all of them)")
     args = ap.parse_args()
 
     from diner_tpu.utils.profiling import benchmark
 
-    net, variables, imgs, projs, dvals = _setup(args.dtype)
+    net, variables, imgs, projs, dvals = _setup(args.dtype, args.batch)
 
     @jax.jit
     def infer(variables, imgs, projs, dvals):
@@ -121,9 +128,10 @@ def main():
     dt = res["median_s"]
     line = {
         "metric": "mvs_depth_maps_per_min_per_chip",
-        "value": round(60.0 / dt, 1),
+        "value": round(60.0 * args.batch / dt, 1),
         "unit": "depth-maps/min",
-        "secs_per_map_512x640": round(dt, 4),
+        "secs_per_map_512x640": round(dt / args.batch, 4),
+        "batch": args.batch,
         "ndepths": list(NDEPTHS),
         "compute_dtype": args.dtype,
         "device": str(jax.devices()[0]),
@@ -157,9 +165,10 @@ def main():
             krt = jnp.einsum("bij,bjk->bik", p[:, 1, :3, :3], p[:, 0, :3, :4])
             return out.at[:, :3, :4].set(krt)
 
+        B = imgs.shape[0]
         dv1 = jnp.broadcast_to(
             jnp.linspace(425.0, 905.0, NDEPTHS[0])[None, :, None, None],
-            (1, NDEPTHS[0], H // 4, W // 4))
+            (B, NDEPTHS[0], H // 4, W // 4))
 
         @jax.jit
         def warp_all(s1, proj, dv1):
