@@ -225,3 +225,13 @@ def write_gipuma_cam(path, extrinsics, intrinsics):
         for row in P:
             f.write(" ".join(f"{v:.8f}" for v in row) + "\n")
         f.write("\n")
+
+
+def nearest_resize(img, h, w):
+    """Integer nearest resize by index striding (floor convention shared by
+    the DTU and MultiFace loaders)."""
+    import numpy as np
+
+    ys = (np.arange(h) * (img.shape[0] / h)).astype(np.int64)
+    xs = (np.arange(w) * (img.shape[1] / w)).astype(np.int64)
+    return img[ys][:, xs]

@@ -24,7 +24,7 @@ import numpy as np
 from scipy.spatial.transform import Rotation, Slerp as RotSlerp
 
 from diner_tpu.core.config import register
-from diner_tpu.data.codecs import read_pfm, DEPTH_SCALE_FACTOR
+from diner_tpu.data.codecs import read_pfm, DEPTH_SCALE_FACTOR, nearest_resize as _nearest_resize
 from diner_tpu.data.contract import validate_sample
 
 ASSETS = Path(__file__).resolve().parents[2] / "assets" / "data_splits" / "dtu"
@@ -39,12 +39,6 @@ def _read_rgb(path, downsample):
         img = img.resize((int(w * downsample), int(h * downsample)))
     arr = np.asarray(img, np.float32) / 255.0
     return arr[..., :3]
-
-
-def _nearest_resize(img, h, w):
-    ys = (np.arange(h) * (img.shape[0] / h)).astype(np.int64)
-    xs = (np.arange(w) * (img.shape[1] / w)).astype(np.int64)
-    return img[ys][:, xs]
 
 
 @register("DTUDataset")
@@ -147,10 +141,25 @@ class DTUDataset:
         for cam_id in all_ids[1:]:
             dp = self._depth_path(scan_name, cam_id)
             d, m = self._read_depth(dp)
-            conf, _ = self._read_depth(dp.parent / dp.name.replace(".png", "_conf.png"))
+            # conf is a unitless score: read it RAW (x DEPTH_SCALE_FACTOR
+            # only), then scale the resulting sigma into the configured
+            # world scale. At the default scale_factor this is bit-identical
+            # to the reference (src/data/dtu.py:220-223 routes conf through
+            # read_depth, where the two factors cancel); at any other
+            # scale_factor the reference's routing corrupts conf ~1000x,
+            # while here sigma stays proportional to the scene scale.
+            import imageio.v2 as imageio
+
+            conf = np.asarray(imageio.imread(
+                dp.parent / dp.name.replace(".png", "_conf.png"))
+            ).astype(np.float32) * DEPTH_SCALE_FACTOR
+            if self.downsample != 1:
+                conf = _nearest_resize(conf, int(512 * self.downsample),
+                                       int(640 * self.downsample))
             depths.append(d)
             masks.append(m)
-            stds.append(self.conf2std(conf))
+            stds.append(self.conf2std(conf[..., None])
+                        * (self.scale_factor / self.SCALE_FACTOR_DEFAULT))
 
         sample = {
             "target_rgb": imgs[0],

@@ -68,7 +68,11 @@ class FacescapeDataset:
         self.slide_range = slide_range
         self.slide_step = slide_step
         self.random_ref_views = random_ref_views
-        self._rng = np.random.RandomState(seed)
+        self.seed = seed
+        self._visits = {}
+        import threading
+
+        self._rng_lock = threading.Lock()
         if depth_fname:
             self.DEPTH_FNAME = depth_fname
         self.DEPTH_STD_FNAME = self.DEPTH_FNAME.replace(".png", "_conf.png")
@@ -86,10 +90,21 @@ class FacescapeDataset:
         return f"view_{i:05d}"
 
     def _meta_path(self):
+        # every parameter that changes _generate_metas' OUTPUT must show up
+        # in the cache name, or a parameter change silently reuses stale
+        # metas; non-default slide_step/depth_fname/val_subjects get a short
+        # stable digest suffix (defaults keep the original names so shipped
+        # split files stay valid)
+        import hashlib
+
         name = (f"{self.stage}_{self.range_hor}_{self.range_vert}"
-                + (f"_{self.slide_range}" if self.slide_range != 0 else "")
-                + ".txt")
-        return self.meta_dir / name
+                + (f"_{self.slide_range}" if self.slide_range != 0 else ""))
+        extras = (self.slide_step, self.DEPTH_FNAME,
+                  tuple(self._val_subjects) if self._val_subjects else None)
+        if extras != (20.0, "depth_TransMVSNet.png", None):
+            digest = hashlib.sha1(repr(extras).encode()).hexdigest()[:8]
+            name += f"_{digest}"
+        return self.meta_dir / (name + ".txt")
 
     def get_metas(self):
         meta_fpath = self._meta_path()
@@ -205,9 +220,27 @@ class FacescapeDataset:
 
     def __getitem__(self, idx):
         meta = self.metas[idx]
-        source_ids = [(self._rng.choice(s) if self.random_ref_views else s[0])
-                      for s in meta["ref_ids"]]
         target_id = meta["target_id"]
+        if self.random_ref_views:
+            # private RandomState per (seed, idx, visit): BatchLoader calls
+            # __getitem__ from a thread pool, and a shared RandomState is
+            # neither thread-safe nor reproducible under thread scheduling
+            with self._rng_lock:
+                visit = self._visits.get(idx, 0)
+                self._visits[idx] = visit + 1
+            rng = np.random.RandomState(
+                (self.seed * 0x9E3779B1 + idx * 0x85EBCA77 + visit)
+                % (2 ** 32))
+            # never draw the target itself as a source view: ref rows hold
+            # the top-4 cams per corner and can contain it (GT leak)
+            source_ids = []
+            for s in meta["ref_ids"]:
+                cand = [i for i in s if i != target_id] or s[:1]
+                # index-based draw keeps the metas' original id type
+                # (cameras.json is keyed by it)
+                source_ids.append(cand[int(rng.randint(len(cand)))])
+        else:
+            source_ids = [s[0] for s in meta["ref_ids"]]
         scan_path = self.data_dir / meta["scan_path"]
         frame, subject = scan_path.name, scan_path.parent.name
 

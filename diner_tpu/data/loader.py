@@ -36,7 +36,11 @@ class BatchLoader:
         self.arrays_only = arrays_only
         self.io_retries = io_retries
         if shard_across_processes:
-            self.indices = process_local_slice(len(dataset))
+            # pad_to_equal: every host must see the SAME number of batches,
+            # or the short host exhausts its iterator first and the others
+            # block forever in the training step's collective
+            self.indices = process_local_slice(len(dataset),
+                                               pad_to_equal=True)
         else:
             self.indices = list(range(len(dataset)))
         self._epoch = 0
@@ -55,6 +59,11 @@ class BatchLoader:
         idcs = self._epoch_indices()
         self._epoch += 1
         n_batches = len(self)
+        if n_batches == 0:
+            raise ValueError(
+                f"BatchLoader yields no batches: {len(self.indices)} local "
+                f"indices < batch_size={self.batch_size} with drop_last — "
+                "shrink the batch or grow the dataset")
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()  # set when the consumer abandons the epoch
         error: list = []

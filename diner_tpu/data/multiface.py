@@ -20,7 +20,7 @@ import numpy as np
 from scipy.spatial.transform import Rotation
 
 from diner_tpu.core.config import register
-from diner_tpu.data.codecs import DEPTH_SCALE_FACTOR
+from diner_tpu.data.codecs import DEPTH_SCALE_FACTOR, nearest_resize as _nearest_resize
 from diner_tpu.data.contract import validate_sample
 from diner_tpu.geometry.slerp import PoseSlerp
 
@@ -54,12 +54,6 @@ def load_krt(path):
     return cameras
 
 
-def _nearest_resize(img, h, w):
-    ys = (np.arange(h) * (img.shape[0] / h)).astype(np.int64)
-    xs = (np.arange(w) * (img.shape[1] / w)).astype(np.int64)
-    return img[ys][:, xs]
-
-
 def _bilinear_resize(img, h, w):
     from PIL import Image
 
@@ -86,6 +80,7 @@ class MultiFaceDataset:
             raise FileNotFoundError(root)
         assert isinstance(downsample, int)
         self.stage = stage
+        self._krt_cache = {}
         self.downsample = downsample
         self.depth_suffix = depth_suffix
         self.depth_std_suffix = depth_std_suffix
@@ -142,6 +137,16 @@ class MultiFaceDataset:
             metas = [m for m in metas
                      if any(t == m["target_id"] for t in target_filter)]
         return metas
+
+    def _krt(self, subject):
+        """Per-subject KRT cache: the file is static, and __getitem__ runs in
+        the loader's IO thread pool thousands of times per epoch (dict
+        assignment is atomic; a rare double parse is harmless)."""
+        krt = self._krt_cache.get(subject)
+        if krt is None:
+            krt = load_krt(self.data_dir / subject / "KRT")
+            self._krt_cache[subject] = krt
+        return krt
 
     def _generate_metas(self):
         split = json.loads(self.split_config.read_text())
@@ -240,7 +245,7 @@ class MultiFaceDataset:
         src_rgbs = np.where(src_alphas < 1, 1.0, src_rgbs).astype(np.float32)
         target_rgb = np.where(target_alpha < 1, 1.0, target_rgb).astype(np.float32)
 
-        krt = load_krt(self.data_dir / subject / "KRT")
+        krt = self._krt(subject)
         if self.manual_target_params is None:
             tgt_ext = np.asarray(krt[target_id]["extrin"], np.float32)
             tgt_K = np.asarray(krt[target_id]["intrin"], np.float32)

@@ -24,7 +24,7 @@ class PoseSlerp:
         self._rotslerp = _RotSlerp(self._times, rotations[order])
 
     def __call__(self, query_times):
-        q = np.clip(np.asarray(query_times, dtype=np.float64),
+        q = np.clip(np.atleast_1d(np.asarray(query_times, dtype=np.float64)),
                     self._times.min(), self._times.max())
         rotations = self._rotslerp(q)
         idx = np.clip(np.searchsorted(self._times, q, side="right") - 1,

@@ -32,6 +32,11 @@ def masked_downsample(x, mask, factor: int, mode: str = "average", bg_color: flo
     mask: (..., H, W, 1) with 1=fg. For "average": fg output pixels average only
     fg input pixels; pixels whose nearest-sampled mask is background get
     `bg_color`. For "nearest": plain nearest sampling.
+
+    Parity note: like the reference (torch_helpers.py:188-194), the numerator
+    zeroes pixels with mask < 1 while the denominator sums the RAW mask — so
+    values under partial alpha (0 < mask < 1) are darkened proportionally.
+    Feed a binary mask when that bias is unwanted.
     """
     if x.shape[-3] % factor or x.shape[-2] % factor:
         raise ValueError("spatial dims must be divisible by factor")

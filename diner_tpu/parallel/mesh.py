@@ -60,8 +60,22 @@ def replicate(tree, mesh: Mesh):
 
 
 def process_local_slice(n: int, process_index: Optional[int] = None,
-                        process_count: Optional[int] = None):
-    """Indices this host should load (DistributedSampler equivalent)."""
+                        process_count: Optional[int] = None,
+                        pad_to_equal: bool = False):
+    """Indices this host should load (DistributedSampler equivalent).
+
+    pad_to_equal=True wraps indices so every host gets ceil(n/pc) of them
+    (torch DistributedSampler's padding): required for TRAINING, where a
+    short host would run out of batches and leave the others blocked in a
+    collective. Leave False for independent per-host work (write/eval),
+    where padding would just duplicate outputs."""
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
-    return list(range(pi, n, pc))
+    idx = list(range(pi, n, pc))
+    if pad_to_equal and n > 0:
+        target = -(-n // pc)
+        pos = pi + pc * len(idx)
+        while len(idx) < target:  # wrap like padded[pos] = indices[pos - n]
+            idx.append(pos - n)
+            pos += pc
+    return idx

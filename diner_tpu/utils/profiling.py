@@ -65,7 +65,10 @@ def setup_compilation_cache():
     import os
     from pathlib import Path
 
-    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    # enable only when the env names a TPU-class platform: the cache must
+    # never be populated with host-CPU executables (any spelling/combination)
+    platforms = os.environ.get("JAX_PLATFORMS", "").lower()
+    if not any(p in platforms for p in ("tpu", "axon")):
         return
     repo_root = Path(__file__).resolve().parents[2]
     jax.config.update("jax_compilation_cache_dir", str(repo_root / ".jax_cache"))

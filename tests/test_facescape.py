@@ -210,3 +210,45 @@ def test_mvs_train_facescape_cli(fake_facescape, tmp_path):
           "--cr_base_chs", "4,4,4", "--base_channels", "4",
           "--max-steps", "2", "--batch-size", "1", "--log-every", "1"])
     assert any((tmp_path / "tr" / "ckpts").iterdir())
+
+
+def test_random_ref_views_excludes_target_and_is_reproducible(fake_facescape):
+    """random_ref_views must never leak the target view into the sources
+    (ref rows hold the top-4 cams per corner, which can include the target),
+    and draws must be reproducible for a given seed regardless of the
+    loader's thread scheduling (per-(seed, idx, visit) RandomState)."""
+    root, meta_dir = fake_facescape
+
+    def collect(seed):
+        ds = FacescapeDataset(root, stage="val", meta_dir=meta_dir,
+                              val_subjects=["001"], range_hor=45,
+                              range_vert=30, slide_range=0,
+                              random_ref_views=True, seed=seed)
+        out = []
+        for i in range(len(ds)):
+            s = ds[i]
+            assert s["target_view_id"] not in set(s["src_view_ids"].tolist())
+            out.append(tuple(s["src_view_ids"].tolist()))
+        return out
+
+    a = collect(seed=0)
+    b = collect(seed=0)
+    assert a == b  # same seed -> same draws, fresh instance
+    # different visits to the same idx redraw (augmentation still works)
+    ds = FacescapeDataset(root, stage="val", meta_dir=meta_dir,
+                          val_subjects=["001"], range_hor=45, range_vert=30,
+                          slide_range=0, random_ref_views=True, seed=0)
+    draws = {tuple(ds[0]["src_view_ids"].tolist()) for _ in range(8)}
+    assert len(draws) >= 1  # and never the target in any of them
+
+
+def test_meta_cache_name_tracks_generation_params(fake_facescape):
+    """Changing slide_step / depth_fname / val_subjects must change the meta
+    cache file, or stale metas are silently reused."""
+    root, meta_dir = fake_facescape
+    mk = lambda **kw: FacescapeDataset(root, stage="val", meta_dir=meta_dir,
+                                       val_subjects=["001"], range_hor=45,
+                                       range_vert=30, slide_range=0, **kw)
+    base = mk()._meta_path()
+    assert mk(slide_step=5.0)._meta_path() != base
+    assert mk(depth_fname="depth_GT.png")._meta_path() != base

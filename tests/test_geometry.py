@@ -126,3 +126,21 @@ def test_pose_slerp_endpoints_and_midpoint():
     np.testing.assert_allclose(ext[1, :3, 3], [1, 0, 0], atol=1e-6)
     mid = Rotation.from_euler("y", 45, degrees=True).as_matrix()
     np.testing.assert_allclose(ext[1, :3, :3], mid, atol=1e-6)
+
+
+def test_pose_slerp_scalar_query():
+    """Scalar query times are part of the documented interface."""
+    import numpy as np
+    from scipy.spatial.transform import Rotation
+
+    from diner_tpu.geometry.slerp import PoseSlerp
+
+    times = np.array([0.0, 1.0])
+    rots = Rotation.from_euler("y", [[0.0], [90.0]], degrees=True)
+    locs = np.array([[0.0, 0, 0], [1.0, 0, 0]])
+    sl = PoseSlerp(times, rots, locs)
+    r, loc = sl(0.5)
+    assert loc.shape == (1, 3)
+    np.testing.assert_allclose(loc[0], [0.5, 0, 0], atol=1e-6)
+    ext = sl.extrinsics(0.25)
+    assert ext.shape == (1, 4, 4)

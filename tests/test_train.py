@@ -204,3 +204,22 @@ def test_latent_anchors_one_raises():
 
     with pytest.raises(ValueError, match="latent_anchors"):
         index_latent_anchored(None, None, None, 1)
+
+
+def test_process_local_slice_pads_to_equal():
+    """Training shards must be equal-length across hosts (a short host runs
+    out of batches and strands the others in the collective)."""
+    from diner_tpu.parallel import process_local_slice
+
+    n, pc = 127, 8
+    slices = [process_local_slice(n, pi, pc, pad_to_equal=True)
+              for pi in range(pc)]
+    lens = {len(s) for s in slices}
+    assert lens == {-(-n // pc)}  # all equal to ceil(n/pc)
+    covered = set()
+    for s in slices:
+        assert all(0 <= i < n for i in s)
+        covered.update(s)
+    assert covered == set(range(n))  # padding wraps, never drops
+    # unpadded keeps the plain strided slice for write/eval sharding
+    assert process_local_slice(n, 7, pc) == list(range(7, n, pc))
