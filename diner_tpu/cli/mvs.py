@@ -143,6 +143,9 @@ def _train_impl(args, use_focal: bool):
 
     variables = jit_init(lambda k, i, p, d: net.init(k, i, p, d, train=True))(
         jax.random.PRNGKey(args.seed), imgs, projs, dvals)
+    # reference finetune starts from a pretrained checkpoint (train.py
+    # loadckpt); train accepts one too
+    variables = _maybe_port_torch_ckpt(variables, args)
 
     milestones = [int(float(e) * len(ds) / args.batch_size)
                   for e in args.lrepochs.split(":")[0].split(",")]
@@ -313,6 +316,7 @@ def cmd_write(args):
     dvals = jnp.asarray(sample["depth_values"])
     from diner_tpu.utils.jitinit import jit_init
     variables = jit_init(net.init)(jax.random.PRNGKey(0), imgs, projs, dvals)
+    variables = _maybe_port_torch_ckpt(variables, args)
     if args.ckpt:
         variables = _restore_params_stats(args.ckpt, variables)
 
@@ -375,12 +379,31 @@ def cmd_write(args):
             print(f"wrote {n + 1}/{len(idxs)}", flush=True)
 
 
+def _maybe_port_torch_ckpt(variables, args):
+    """--torch-ckpt: load a reference TransMVSNet torch checkpoint
+    ({'model': state_dict} per deps/TransMVSNet/train.py:100-104, or a bare
+    state dict), port it, and structurally validate against the fresh init
+    before use."""
+    path = getattr(args, "torch_ckpt", None)
+    if not path:
+        return variables
+    from diner_tpu.mvs.torch_port import (port_transmvsnet,
+                                          validate_against_init)
+    from diner_tpu.nn.torch_port import load_torch_state_dict
+
+    ported = port_transmvsnet(load_torch_state_dict(path))
+    validate_against_init(ported, {"params": variables["params"],
+                                   "batch_stats": variables["batch_stats"]})
+    return ported
+
+
 def _restore_net_variables(net, args, example):
     imgs = jnp.asarray(example["imgs"])[None]
     projs = {k: jnp.asarray(v)[None] for k, v in example["proj_matrices"].items()}
     dvals = jnp.asarray(example["depth_values"])[None]
     from diner_tpu.utils.jitinit import jit_init
     variables = jit_init(net.init)(jax.random.PRNGKey(0), imgs, projs, dvals)
+    variables = _maybe_port_torch_ckpt(variables, args)
     if args.ckpt:
         variables = _restore_params_stats(args.ckpt, variables)
     return variables
@@ -645,6 +668,9 @@ def main(argv=None):
                        help="bfloat16: bf16 convs/FMT/cost volumes "
                             "(~1.3x on TPU; geometry/softmax stay f32). "
                             "Default float32 = reference parity.")
+        p.add_argument("--torch-ckpt", default=None,
+                       help="port a reference TransMVSNet torch checkpoint "
+                            "(structurally validated against the arch)")
         if name in ("train", "finetune"):
             p.add_argument("--logdir", required=True)
             p.add_argument("--profile", action="store_true",
@@ -680,6 +706,8 @@ def main(argv=None):
                     help="scan-list file or comma-separated scan names")
     pe.add_argument("--outdir", required=True)
     pe.add_argument("--ckpt", default=None)
+    pe.add_argument("--torch-ckpt", default=None,
+                    help="port a reference TransMVSNet torch checkpoint")
     pe.add_argument("--ndepths", default="48,32,8")
     pe.add_argument("--depth_inter_r", default="4,2,1")
     pe.add_argument("--numdepth", type=int, default=192)

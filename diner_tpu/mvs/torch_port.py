@@ -120,10 +120,15 @@ def port_feature_net(sd, prefix: str = "feature"):
 def port_cost_reg(sd, prefix: str):
     """CostRegNet (module.py:424-455) -> our CostRegNet params/batch_stats."""
     params, stats = {}, {}
-    order = [("conv0", "Conv3dBnRelu_0"), ("conv1", "Conv3dBnRelu_1"),
-             ("conv2", "Conv3dBnRelu_2"), ("conv3", "Conv3dBnRelu_3"),
-             ("conv4", "Conv3dBnRelu_4"), ("conv5", "Conv3dBnRelu_5"),
-             ("conv6", "Conv3dBnRelu_6")]
+    # flax auto-numbering is CONSTRUCTOR order: in
+    # `Conv3dBnRelu(2b)(Conv3dBnRelu(2b, stride=2)(x))` the outer stride-1
+    # module gets the LOWER index, so torch's strided conv1/3/5 land on
+    # _2/_4/_6 and the stride-1 conv2/4/6 on _1/_3/_5
+    # (tests/torch_mvs_reference.py cost_reg_net documents the same order)
+    order = [("conv0", "Conv3dBnRelu_0"), ("conv1", "Conv3dBnRelu_2"),
+             ("conv2", "Conv3dBnRelu_1"), ("conv3", "Conv3dBnRelu_4"),
+             ("conv4", "Conv3dBnRelu_3"), ("conv5", "Conv3dBnRelu_6"),
+             ("conv6", "Conv3dBnRelu_5")]
     for theirs, ours in order:
         p, s = _convbn(sd, f"{prefix}.{theirs}")
         params[ours] = p
@@ -159,8 +164,10 @@ def port_transmvsnet(state_dict):
         pw_s[ours] = s
     pw_p["Conv_0"] = {"kernel": _conv3d(sd["DepthNet.pixel_wise_net.conv2.weight"]),
                       "bias": sd["DepthNet.pixel_wise_net.conv2.bias"]}
-    params["PixelwiseNet_0"] = pw_p
-    stats["PixelwiseNet_0"] = pw_s
+    # setup-assigned submodule: flax names it by ATTRIBUTE (net.py
+    # `self.pixel_wise_net = PixelwiseNet(...)`), not auto-numbering
+    params["pixel_wise_net"] = pw_p
+    stats["pixel_wise_net"] = pw_s
     params["fmt_with_pathway"], stats["fmt_with_pathway"] = port_fmt(sd)
     return {"params": params, "batch_stats": stats}
 
@@ -198,3 +205,151 @@ def deconv3d_matches_torch_reference():
     tests/test_mvs.py::test_deconv3d_matches_torch."""
     return dict(transpose_kernel=True, padding=[(1, 2)] * 3,
                 kernel_layout="DHW,O,I")
+
+
+# -- inverse direction: export our flax weights as a reference-keyed torch
+# state dict (serve TPU-trained cascades to torch consumers, and the
+# round-trip regression test for the port mapping itself) -----------------
+
+def _inv_conv2d(k):  # HWIO -> OIHW
+    return np.transpose(np.asarray(k), (3, 2, 0, 1))
+
+
+def _inv_conv3d(k):  # DHWIO -> OIDHW
+    return np.transpose(np.asarray(k), (4, 3, 0, 1, 2))
+
+
+def _inv_deconv3d(k):  # (D, H, W, O, I) -> torch (I, O, D, H, W)
+    return np.transpose(np.asarray(k), (4, 3, 0, 1, 2))
+
+
+def _export_bn(sd, p, bn_p, bn_s):
+    sd[f"{p}.weight"] = np.asarray(bn_p["scale"])
+    sd[f"{p}.bias"] = np.asarray(bn_p["bias"])
+    sd[f"{p}.running_mean"] = np.asarray(bn_s["mean"])
+    sd[f"{p}.running_var"] = np.asarray(bn_s["var"])
+
+
+def _export_convbn(sd, p, params, stats):
+    k = np.asarray(params["Conv_0"]["kernel"])
+    sd[f"{p}.conv.weight"] = _inv_conv2d(k) if k.ndim == 4 else _inv_conv3d(k)
+    _export_bn(sd, f"{p}.bn", params["BatchNorm_0"], stats["BatchNorm_0"])
+
+
+def _export_dcn(sd, p, params, taps: int = 9):
+    perm = np.empty(3 * taps, np.int64)
+    for k in range(taps):
+        perm[k] = 2 * k
+        perm[taps + k] = 2 * k + 1
+        perm[2 * taps + k] = 2 * taps + k
+    inv = np.argsort(perm)
+    sd[f"{p}.conv_offset_mask.weight"] = _inv_conv2d(
+        params["conv_offset_mask"]["kernel"])[inv]
+    sd[f"{p}.conv_offset_mask.bias"] = np.asarray(
+        params["conv_offset_mask"]["bias"])[inv]
+    sd[f"{p}.weight"] = _inv_conv2d(params["weight"])
+    sd[f"{p}.bias"] = np.asarray(params["bias"])
+
+
+def export_transmvsnet(variables):
+    """Our flax TransMVSNet variables -> reference-keyed torch state dict
+    (the exact inverse of `port_transmvsnet`)."""
+    params, stats = variables["params"], variables["batch_stats"]
+    sd = {}
+
+    f_p, f_s = params["feature"], stats["feature"]
+    seq = [("conv0.0", "ConvBnRelu_0"), ("conv0.1", "ConvBnRelu_1"),
+           ("conv1.0", "ConvBnRelu_2"), ("conv1.1", "ConvBnRelu_3"),
+           ("conv1.2", "ConvBnRelu_4"),
+           ("conv2.0", "ConvBnRelu_5"), ("conv2.1", "ConvBnRelu_6"),
+           ("conv2.2", "ConvBnRelu_7")]
+    for theirs, ours in seq:
+        _export_convbn(sd, f"feature.{theirs}", f_p[ours], f_s[ours])
+    for head in ("out1", "out2", "out3"):
+        hp, hs = f_p[head], f_s[head]
+        _export_convbn(sd, f"feature.{head}.0", hp["ConvBnRelu_0"],
+                       hs["ConvBnRelu_0"])
+        _export_dcn(sd, f"feature.{head}.1", hp["DCNLayer_0"])
+        _export_bn(sd, f"feature.{head}.2", hp["BatchNorm_0"],
+                   hs["BatchNorm_0"])
+        _export_dcn(sd, f"feature.{head}.4", hp["DCNLayer_1"])
+        _export_bn(sd, f"feature.{head}.5", hp["BatchNorm_1"],
+                   hs["BatchNorm_1"])
+        _export_dcn(sd, f"feature.{head}.7", hp["DCNLayer_2"])
+    for lat in ("inner1", "inner2"):
+        sd[f"feature.{lat}.weight"] = _inv_conv2d(f_p[lat]["kernel"])
+        sd[f"feature.{lat}.bias"] = np.asarray(f_p[lat]["bias"])
+
+    for i in range(3):
+        cp, cs = params[f"costreg_{i}"], stats[f"costreg_{i}"]
+        pre = f"cost_regularization.{i}"
+        order = [("conv0", "Conv3dBnRelu_0"), ("conv1", "Conv3dBnRelu_2"),
+                 ("conv2", "Conv3dBnRelu_1"), ("conv3", "Conv3dBnRelu_4"),
+                 ("conv4", "Conv3dBnRelu_3"), ("conv5", "Conv3dBnRelu_6"),
+                 ("conv6", "Conv3dBnRelu_5")]
+        for theirs, ours in order:
+            _export_convbn(sd, f"{pre}.{theirs}", cp[ours], cs[ours])
+        for theirs, ours in (("conv7", "Deconv3dBnRelu_0"),
+                             ("conv9", "Deconv3dBnRelu_1"),
+                             ("conv11", "Deconv3dBnRelu_2")):
+            sd[f"{pre}.{theirs}.conv.weight"] = _inv_deconv3d(
+                cp[ours]["ConvTranspose_0"]["kernel"])
+            _export_bn(sd, f"{pre}.{theirs}.bn", cp[ours]["BatchNorm_0"],
+                       cs[ours]["BatchNorm_0"])
+        sd[f"{pre}.prob.weight"] = _inv_conv3d(cp["Conv_0"]["kernel"])
+
+    pw_p, pw_s = params["pixel_wise_net"], stats["pixel_wise_net"]
+    for theirs, ours in (("conv0", "Conv3dBnRelu_0"),
+                         ("conv1", "Conv3dBnRelu_1")):
+        _export_convbn(sd, f"DepthNet.pixel_wise_net.{theirs}",
+                       pw_p[ours], pw_s[ours])
+    sd["DepthNet.pixel_wise_net.conv2.weight"] = _inv_conv3d(
+        pw_p["Conv_0"]["kernel"])
+    sd["DepthNet.pixel_wise_net.conv2.bias"] = np.asarray(
+        pw_p["Conv_0"]["bias"])
+
+    fmt_p = params["fmt_with_pathway"]
+    for i in range(8):
+        lp = f"FMT_with_pathway.FMT.layers.{i}"
+        layer = fmt_p["fmt"][f"layer_{i}"]
+        for proj in ("query_projection", "key_projection",
+                     "value_projection", "out_projection"):
+            sd[f"{lp}.attention.{proj}.weight"] = np.asarray(
+                layer["attention"][proj]["kernel"]).T
+            sd[f"{lp}.attention.{proj}.bias"] = np.asarray(
+                layer["attention"][proj]["bias"])
+        for lin in ("linear1", "linear2"):
+            sd[f"{lp}.{lin}.weight"] = np.asarray(layer[lin]["kernel"]).T
+            sd[f"{lp}.{lin}.bias"] = np.asarray(layer[lin]["bias"])
+        for norm in ("norm1", "norm2"):
+            sd[f"{lp}.{norm}.weight"] = np.asarray(layer[norm]["scale"])
+            sd[f"{lp}.{norm}.bias"] = np.asarray(layer[norm]["bias"])
+    for name in ("dim_reduction_1", "dim_reduction_2",
+                 "smooth_1", "smooth_2"):
+        sd[f"FMT_with_pathway.{name}.weight"] = _inv_conv2d(
+            fmt_p[name]["kernel"])
+    return sd
+
+
+def validate_against_init(ported, init_variables):
+    """Raise with a full diff if the ported tree's paths/shapes differ from a
+    fresh init — the structural gate the CLI runs before using a ported
+    checkpoint."""
+    import jax
+
+    def flat(tree):
+        return {jax.tree_util.keystr(k): np.asarray(v).shape
+                for k, v in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+    a, b = flat(ported), flat(init_variables)
+    problems = []
+    for k in sorted(set(a) | set(b)):
+        if k not in a:
+            problems.append(f"missing from port: {k} {b[k]}")
+        elif k not in b:
+            problems.append(f"extra in port: {k} {a[k]}")
+        elif a[k] != b[k]:
+            problems.append(f"shape mismatch at {k}: port {a[k]} vs init {b[k]}")
+    if problems:
+        raise ValueError("ported checkpoint does not match the architecture:\n"
+                         + "\n".join(problems))

@@ -24,7 +24,9 @@ def load_torch_state_dict(path):
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     if "state_dict" in sd:
-        sd = sd["state_dict"]
+        sd = sd["state_dict"]  # Lightning layout (DINER checkpoints)
+    elif "model" in sd:
+        sd = sd["model"]  # TransMVSNet layout ({epoch, model, optimizer})
     return {k: np.asarray(v.detach().cpu().numpy()) for k, v in sd.items()}
 
 

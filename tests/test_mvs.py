@@ -304,3 +304,58 @@ def test_sine_position_encoding_properties():
     np.testing.assert_allclose(np.asarray(pe[0, :, 2]),
                                np.asarray(pe[0, 0, 2]) * np.ones(12), atol=1e-6)
     assert float(jnp.abs(pe).max()) <= 1.0
+
+
+def test_torch_port_round_trip_matches_init():
+    """port_transmvsnet must produce EXACTLY the tree a fresh init builds:
+    export our init to a reference-keyed torch state dict and port it back.
+    Catches flax auto-numbering traps (the outer stride-1 conv in CostRegNet
+    gets the LOWER index, so torch conv1/conv2 pairs land swapped) and
+    setup-assigned submodule names ('pixel_wise_net', not 'PixelwiseNet_0').
+    Torch-side shape asserts pin the TRUE reference layout so a consistent
+    swap in both directions cannot cancel out."""
+    import jax
+    import jax.numpy as jnp
+
+    from diner_tpu.mvs.net import TransMVSNet
+    from diner_tpu.mvs.torch_port import (export_transmvsnet,
+                                          port_transmvsnet,
+                                          validate_against_init)
+
+    rng = np.random.RandomState(0)
+    b = 4
+    net = TransMVSNet(ndepths=(8, 8, 8), depth_intervals_ratio=(4, 2, 1),
+                      cr_base_chs=(b, b, b), base_channels=b)
+    B, V, H, W = 1, 3, 32, 32
+    imgs = jnp.asarray(rng.rand(B, V, H, W, 3).astype(np.float32))
+    projs = {}
+    for si, scale in enumerate((4, 2, 1)):
+        K4 = np.eye(4, dtype=np.float32)
+        K4[0, 0] = K4[1, 1] = 50.0 / scale
+        K4[0, 2], K4[1, 2] = W / (2 * scale), H / (2 * scale)
+        stack = [np.stack([np.eye(4, dtype=np.float32), K4])] * V
+        projs[f"stage{si + 1}"] = jnp.asarray(np.stack(stack)[None])
+    dvals = jnp.asarray(np.linspace(1.0, 2.0, 32, dtype=np.float32)[None])
+    variables = net.init(jax.random.PRNGKey(0), imgs, projs, dvals)
+
+    sd = export_transmvsnet(variables)
+    # torch-side truth: conv1 is the STRIDED b->2b conv (module.py:426-429)
+    assert sd["cost_regularization.0.conv1.conv.weight"].shape == \
+        (2 * b, b, 3, 3, 3)
+    assert sd["cost_regularization.0.conv2.conv.weight"].shape == \
+        (2 * b, 2 * b, 3, 3, 3)
+    assert "DepthNet.pixel_wise_net.conv2.weight" in sd
+
+    ported = port_transmvsnet(sd)
+    validate_against_init(ported, variables)  # paths + shapes identical
+    for (ka, va), (kb, vb) in zip(
+            jax.tree_util.tree_flatten_with_path(ported)[0],
+            jax.tree_util.tree_flatten_with_path(
+                {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]})[0]):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                      err_msg=jax.tree_util.keystr(ka))
+    # and the ported tree actually runs
+    out = net.apply(ported, imgs, projs, dvals)
+    assert np.isfinite(np.asarray(out["depth"])).all()

@@ -250,3 +250,49 @@ def test_mvs_train_save_every_and_resume(tmp_path):
 
     restored = _restore_params_stats(logdir / "ckpts", None)
     assert set(restored) == {"params", "batch_stats"}
+
+
+def test_torch_ckpt_flag_ports_reference_checkpoint(tmp_path):
+    """--torch-ckpt must load a reference-layout {'epoch', 'model', ...}
+    torch checkpoint, port it, and pass the structural gate."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from diner_tpu.cli.mvs import _maybe_port_torch_ckpt
+    from diner_tpu.mvs.net import TransMVSNet
+    from diner_tpu.mvs.torch_port import export_transmvsnet
+
+    rng = np.random.RandomState(0)
+    net = TransMVSNet(ndepths=(8, 8, 8), depth_intervals_ratio=(4, 2, 1),
+                      cr_base_chs=(4, 4, 4), base_channels=4)
+    B, V, H, W = 1, 3, 32, 32
+    imgs = jnp.asarray(rng.rand(B, V, H, W, 3).astype(np.float32))
+    projs = {}
+    for si, scale in enumerate((4, 2, 1)):
+        K4 = np.eye(4, dtype=np.float32)
+        K4[0, 0] = K4[1, 1] = 50.0 / scale
+        K4[0, 2], K4[1, 2] = W / (2 * scale), H / (2 * scale)
+        projs[f"stage{si + 1}"] = jnp.asarray(
+            np.stack([np.stack([np.eye(4, dtype=np.float32), K4])] * V)[None])
+    dvals = jnp.asarray(np.linspace(1.0, 2.0, 32, dtype=np.float32)[None])
+    variables = net.init(jax.random.PRNGKey(0), imgs, projs, dvals)
+
+    sd = {("module." + k if i % 2 else k): torch.from_numpy(np.asarray(v))
+          for i, (k, v) in enumerate(export_transmvsnet(variables).items())}
+    ckpt = tmp_path / "model_000015.ckpt"
+    torch.save({"epoch": 15, "model": sd}, ckpt)
+
+    args = argparse.Namespace(torch_ckpt=str(ckpt))
+    fresh = net.init(jax.random.PRNGKey(1), imgs, projs, dvals)
+    ported = _maybe_port_torch_ckpt(
+        {"params": fresh["params"], "batch_stats": fresh["batch_stats"]},
+        args)
+    leaf0 = jax.tree_util.tree_leaves(ported["params"])[0]
+    ref0 = jax.tree_util.tree_leaves(variables["params"])[0]
+    np.testing.assert_array_equal(np.asarray(leaf0), np.asarray(ref0))
+    out = net.apply(ported, imgs, projs, dvals)
+    assert np.isfinite(np.asarray(out["depth"])).all()
