@@ -47,6 +47,14 @@ def consensus_fusion(depths, intrinsics, extrinsics, colors=None, normals=None,
     """
     if depth_mode not in ("relative", "disparity"):
         raise ValueError(f"depth_mode must be relative|disparity, got {depth_mode!r}")
+    # coerce host arrays: vmapped tracer indexing into raw numpy fails
+    depths = jnp.asarray(depths)
+    intrinsics = jnp.asarray(intrinsics)
+    extrinsics = jnp.asarray(extrinsics)
+    if colors is not None:
+        colors = jnp.asarray(colors)
+    if normals is not None:
+        normals = jnp.asarray(normals)
     V, H, W = depths.shape
     dtype = depths.dtype
     gx, gy = jnp.meshgrid(jnp.arange(W, dtype=dtype), jnp.arange(H, dtype=dtype))
@@ -62,10 +70,16 @@ def consensus_fusion(depths, intrinsics, extrinsics, colors=None, normals=None,
     world_pts = jax.vmap(backproject)(jnp.arange(V))  # (V, HW, 3)
 
     if normals is None:
-        normals = jnp.zeros((V, H, W, 3), dtype).at[..., 2].set(-1.0)
-    world_normals = jnp.einsum(
-        "vij,vnj->vni", jnp.swapaxes(extrinsics[:, :3, :3], -1, -2),
-        normals.reshape(V, -1, 3))
+        # fusibile's fake-normal path stores the IDENTICAL constant in every
+        # view ((1,1,1)/sqrt(3), gipuma driver), so the normal gate passes
+        # trivially. A per-view camera-frame constant rotated to world would
+        # instead encode cos(relative view angle) and reject every pair wider
+        # than normal_thresh — emptying the cloud on real multi-view rigs.
+        world_normals = jnp.full((V, H * W, 3), 3.0 ** -0.5, dtype)
+    else:
+        world_normals = jnp.einsum(
+            "vij,vnj->vni", jnp.swapaxes(extrinsics[:, :3, :3], -1, -2),
+            normals.reshape(V, -1, 3))
     if colors is None:
         colors = jnp.ones((V, H, W, 3), dtype)
     colors = colors.reshape(V, -1, 3)

@@ -180,13 +180,25 @@ class FacescapeMVSDataset:
                  meta_dir=None, **facescape_kwargs):
         from diner_tpu.data.facescape import FacescapeDataset
 
+        # the MVS adapter filters views by the GT mesh depth (reference
+        # facescape.py:18 DEPTH_FNAME='depth.png') — the DINER default
+        # depth_TransMVSNet.png is exactly what `mvs write` is about to
+        # CREATE, so a fresh dataset would yield zero metas
+        facescape_kwargs.setdefault("depth_fname", "depth.png")
         self.base = FacescapeDataset(root, stage=stage, meta_dir=meta_dir,
                                      **facescape_kwargs)
         self.ndepths = ndepths
-        # leave-one-out: each ref view becomes the MVS reference once
-        # (robust to metas with != 4 ref rows)
-        self.metas = [(m, r) for m in self.base.metas
-                      for r in range(len(m["ref_ids"]))]
+        # leave-one-out over UNIQUE camera quadruples: many DINER metas (one
+        # per target view) share (scan_path, ref_ids); without the dedup
+        # (reference facescape.py:62-79) `mvs write` re-infers and rewrites
+        # the same depth maps tens of times (robust to != 4 ref rows)
+        seen, self.metas = set(), []
+        for m in self.base.metas:
+            key = (m["scan_path"], tuple(tuple(r) for r in m["ref_ids"]))
+            if key in seen:
+                continue
+            seen.add(key)
+            self.metas += [(m, r) for r in range(len(m["ref_ids"]))]
 
     def __len__(self):
         return len(self.metas)
@@ -266,12 +278,14 @@ class GeneralEvalMVSDataset:
     """
 
     def __init__(self, datapath, scans, nviews: int = 5, ndepths: int = 192,
-                 interval_scale: float = 1.06, img_ext: str = ".jpg"):
+                 interval_scale: float = 1.06, img_ext: str = ".jpg",
+                 max_h: int = 864, max_w: int = 1152):
         self.datapath = Path(datapath)
         self.nviews = nviews
         self.ndepths = ndepths
         self.interval_scale = interval_scale
         self.img_ext = img_ext
+        self.max_h, self.max_w = max_h, max_w
         self.metas = []
         for scan in scans:
             pair = (self.datapath / scan / "pair.txt").read_text().splitlines()
@@ -285,11 +299,37 @@ class GeneralEvalMVSDataset:
     def __len__(self):
         return len(self.metas)
 
+    @staticmethod
+    def scale_mvs_input(img, K, max_w, max_h, base: int = 32):
+        """Reference general_eval.py:96-113: cap to (max_h, max_w) keeping
+        aspect, snap BOTH dims down to a multiple of `base` (the cascade's
+        3-level /4-stage UNet needs /32 inputs), rescale K accordingly."""
+        h, w = img.shape[:2]
+        if h > max_h or w > max_w:
+            scale = max_h / h
+            if scale * w > max_w:
+                scale = max_w / w
+            new_w, new_h = scale * w // base * base, scale * h // base * base
+        else:
+            new_w, new_h = w // base * base, h // base * base
+        K = K.copy()
+        K[0, :] *= new_w / w
+        K[1, :] *= new_h / h
+        if (new_h, new_w) != (h, w):
+            try:
+                import cv2
+
+                img = cv2.resize(img, (int(new_w), int(new_h)))
+            except ImportError:
+                from PIL import Image
+
+                img = np.asarray(Image.fromarray(
+                    (img * 255).astype(np.uint8)).resize(
+                        (int(new_w), int(new_h))), np.float32) / 255.0
+        return img, K
+
     def _read_cam(self, path):
         K, ext, vals = _read_cam_txt(path)
-        # eval cam files store FULL-resolution K; stage1 runs at quarter res
-        # (general_eval.py:71)
-        K[:2] /= 4.0
         dmin, dint = float(vals[0]), float(vals[1])
         if len(vals) >= 3:
             # 3-token depth spec: [min, interval, num]; respan num*interval
@@ -309,9 +349,15 @@ class GeneralEvalMVSDataset:
             img = np.asarray(Image.open(
                 self.datapath / scan / "images" / f"{vid:08d}{self.img_ext}"),
                 np.float32) / 255.0
-            imgs.append(img[..., :3])
             K, ext, dmin, dint = self._read_cam(
                 self.datapath / scan / "cams" / f"{vid:08d}_cam.txt")
+            img, K = self.scale_mvs_input(img[..., :3], K,
+                                          self.max_w, self.max_h)
+            imgs.append(img)
+            # eval cam files store FULL-resolution K; stage1 runs at
+            # quarter res (general_eval.py:71)
+            K = K.copy()
+            K[:2] /= 4.0
             K4 = np.eye(4, dtype=np.float32)
             K4[:3, :3] = K
             projs.append(np.stack([ext, K4]))
@@ -344,17 +390,23 @@ class MultifaceMVSDataset(FacescapeMVSDataset):
         self.base = MultiFaceDataset(root, stage=stage, downsample=downsample,
                                      **mf_kwargs)
         self.ndepths = ndepths
-        self.metas = [(m, r) for m in self.base.metas for r in range(4)]
+        # leave-one-out over UNIQUE quadruples (see FacescapeMVSDataset);
+        # keep the base index so __getitem__ can borrow the DINER sample
+        seen, self.metas = set(), []
+        for bi, m in enumerate(self.base.metas):
+            key = (m["scan_path"], tuple(m["ref_ids"]))
+            if key in seen:
+                continue
+            seen.add(key)
+            self.metas += [(bi, m, r) for r in range(4)]
 
     def __getitem__(self, idx):
-        meta, ref_slot = self.metas[idx]
+        base_idx, meta, ref_slot = self.metas[idx]
         ref_ids = list(meta["ref_ids"])
         view_ids = [ref_ids[ref_slot]] + [r for i, r in enumerate(ref_ids)
                                           if i != ref_slot]
-        # reuse the DINER loader for images/cams by borrowing its sample;
-        # metas = [(m, r) for m in base.metas for r in range(4)], so the
-        # base index is just idx // 4
-        s = self.base[idx // 4]
+        # reuse the DINER loader for images/cams by borrowing its sample
+        s = self.base[base_idx]
         order = [list(meta["ref_ids"]).index(v) for v in view_ids]
         imgs = s["src_rgbs"][order]
         exts = s["src_extrinsics"][order]
@@ -390,6 +442,14 @@ class MultifaceMVSDataset(FacescapeMVSDataset):
             d = np.asarray(self.base.read_depth(Path(dpath)), np.float32)
             if d.ndim == 3:
                 d = d[..., 0]
+            # GT is stored at capture resolution; the images above are
+            # downsampled and /32-snapped (reference multiface.py:221
+            # resizes depth to the image size before pyramiding)
+            h, w = imgs.shape[1:3]
+            if d.shape != (h, w):
+                from diner_tpu.data.codecs import nearest_resize
+
+                d = nearest_resize(d, h, w)
             sample["depth"] = _pyramid(d)
             sample["mask"] = {k: (v > 0).astype(np.float32)
                               for k, v in sample["depth"].items()}
@@ -473,11 +533,7 @@ class BlendedMVSDataset:
                 mask_ms = _pyramid(mask)
 
         projs = np.stack(projs)
-        proj_ms = {"stage1": projs}
-        for name, s in (("stage2", 2), ("stage3", 4)):
-            p = projs.copy()
-            p[:, 1, :2] *= s
-            proj_ms[name] = p
+        proj_ms = _stage_pyramid_projs(projs)
         return {"imgs": np.stack(imgs), "proj_matrices": proj_ms,
                 "depth": depth_ms, "mask": mask_ms,
                 "depth_values": depth_values,
@@ -596,11 +652,7 @@ class TnTEvalDataset:
         projs = np.stack(projs)
         # cams_1 K is the stage1 (quarter-res) intrinsics, like DTU/BLD
         # (tnt_eval.py:186-190: stage2 = x2, stage3 = x4)
-        proj_ms = {"stage1": projs}
-        for name, s in (("stage2", 2.0), ("stage3", 4.0)):
-            p = projs.copy()
-            p[:, 1, :2] *= s
-            proj_ms[name] = p
+        proj_ms = _stage_pyramid_projs(projs)
         return {"imgs": np.stack(imgs), "proj_matrices": proj_ms,
                 "depth_values": depth_values,
                 "view_ids": np.asarray(view_ids), "scan": scan}

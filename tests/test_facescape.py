@@ -116,7 +116,13 @@ def test_facescape_mvs_adapter(fake_facescape):
 
     ds = FacescapeMVSDataset(root, stage="val", ndepths=16, meta_dir=meta_dir,
                              val_subjects=["001"], slide_range=0)
-    assert len(ds) == 4 * len(ds.base.metas)
+    # leave-one-out over UNIQUE camera quadruples (reference facescape.py:
+    # 62-79 dedups runs sharing scan_path+ref_ids): the fake tree's many
+    # targets share one quadruple, so the adapter must NOT multiply by them
+    uniq = {(m["scan_path"], tuple(tuple(r) for r in m["ref_ids"]))
+            for m in ds.base.metas}
+    assert len(ds) == 4 * len(uniq)
+    assert len(ds.base.metas) > len(uniq)  # the dedup actually collapsed
     s = ds[0]
     assert s["imgs"].shape[0] == 4
     assert s["proj_matrices"]["stage1"].shape == (4, 2, 4, 4)

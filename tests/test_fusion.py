@@ -161,3 +161,50 @@ def test_filter_depths_dynamic():
                                        jnp.asarray(np.stack(exts)), conf)
     assert np.asarray(final)[:, 6:-6, 6:-6].all()
     np.testing.assert_allclose(np.asarray(avg)[:, 6:-6, 6:-6], 2.0, rtol=1e-3)
+
+
+def test_consensus_default_normals_pass_on_wide_baseline():
+    """With normals=None the normal gate must pass trivially (fusibile's
+    fake-normal path stores the identical constant in every view) — a
+    camera-frame constant rotated per view would encode the relative view
+    angle and empty the cloud on real multi-view rigs."""
+    import numpy as np
+
+    from diner_tpu.fusion.consensus import consensus_fusion
+
+    H = W = 8
+    f = 10.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+
+    def lookat(eye):
+        eye = np.asarray(eye, np.float64)
+        fwd = -eye / np.linalg.norm(eye)
+        right = np.cross([0, 0, 1.0], fwd)
+        right /= np.linalg.norm(right)
+        up = np.cross(fwd, right)
+        R = np.stack([right, up, fwd])
+        t = -R @ eye
+        ext = np.eye(4, dtype=np.float32)
+        ext[:3, :3], ext[:3, 3] = R, t
+        return ext
+
+    # two views ~60 degrees apart, both looking at the origin from above
+    exts = np.stack([lookat([0, -2, 1.0]), lookat([np.sqrt(3), -1, 1.0])])
+    Ks = np.stack([K, K])
+    # both observe the world plane z=0: per-pixel depth solves
+    # world_z(backproject(u, v, depth)) == 0
+    gx, gy = np.meshgrid(np.arange(W, dtype=np.float64),
+                         np.arange(H, dtype=np.float64))
+    pix = np.stack([gx, gy, np.ones_like(gx)], 0).reshape(3, -1)
+    depths = []
+    for ext in exts:
+        pose = np.linalg.inv(ext)
+        dirs = np.linalg.inv(K) @ pix  # cam-space rays at depth 1
+        denom = pose[2, :3] @ dirs
+        depth = -pose[2, 3] / denom
+        depths.append(depth.reshape(H, W).astype(np.float32))
+    out = consensus_fusion(np.stack(depths), Ks, exts,
+                           depth_thresh=0.05, normal_thresh=0.5,
+                           num_consistent=1)
+    assert bool(np.asarray(out["keep"]).any()), \
+        "wide-baseline pair rejected by the default-normal gate"

@@ -261,7 +261,7 @@ def test_general_eval_mvs_dataset(tmp_path):
     rng = np.random.RandomState(0)
     for i in range(4):
         imageio.imwrite(scan / "images" / f"{i:08d}.jpg",
-                        rng.randint(0, 255, (32, 40, 3), dtype=np.uint8))
+                        rng.randint(0, 255, (32, 64, 3), dtype=np.uint8))
         ext = np.eye(4)
         ext[0, 3] = i * 0.1
         el = "\n".join(" ".join(str(v) for v in r) for r in ext)
@@ -280,7 +280,22 @@ def test_general_eval_mvs_dataset(tmp_path):
     ds = GeneralEvalMVSDataset(tmp_path, ["scan9"], nviews=3, ndepths=8)
     assert len(ds) == 4
     s = ds[0]
-    assert s["imgs"].shape == (3, 32, 40, 3)
+    assert s["imgs"].shape == (3, 32, 64, 3)
+    # scale_mvs_input (general_eval.py:96-113): oversize inputs are capped
+    # to (max_h, max_w), snapped down to /32, and K rescaled
+    big = np.zeros((1200, 1600, 3), np.float32)
+    Kfull = np.array([[2892.33, 0, 800.0], [0, 2892.33, 600.0], [0, 0, 1]],
+                     np.float32)
+    img2, K2 = GeneralEvalMVSDataset.scale_mvs_input(big, Kfull, 1152, 864)
+    assert img2.shape[:2] == (864, 1152)
+    assert img2.shape[0] % 32 == 0 and img2.shape[1] % 32 == 0
+    np.testing.assert_allclose(K2[0, 0], 2892.33 * 1152 / 1600, rtol=1e-6)
+    np.testing.assert_allclose(K2[1, 2], 600.0 * 864 / 1200, rtol=1e-6)
+    # non-/32 sizes snap DOWN even under the cap
+    odd = np.zeros((100, 130, 3), np.float32)
+    img3, K3 = GeneralEvalMVSDataset.scale_mvs_input(odd, Kfull.copy(),
+                                                     1152, 864)
+    assert img3.shape[:2] == (96, 128)
     assert s["proj_matrices"]["stage1"].shape == (3, 2, 4, 4)
     assert s["depth_values"].shape == (8,)
     np.testing.assert_allclose(s["depth_values"][0], 425.0)
