@@ -196,7 +196,15 @@ def _train_impl(args, use_focal: bool):
     params = variables["params"]
     stats = variables["batch_stats"]
     rng = np.random.RandomState(args.seed)
-    order = rng.permutation(len(ds))
+    # per-epoch reshuffle like the reference's shuffled DataLoader — one
+    # fixed permutation repeats identical batch compositions every epoch
+    epoch_orders = {0: rng.permutation(len(ds))}
+
+    def order_at(epoch):
+        while epoch not in epoch_orders:
+            epoch_orders[max(epoch_orders) + 1] = rng.permutation(len(ds))
+        return epoch_orders[epoch]
+
     logdir = Path(args.logdir)
     logdir.mkdir(parents=True, exist_ok=True)
     start_step = 0
@@ -216,8 +224,10 @@ def _train_impl(args, use_focal: bool):
                 jax.profiler.stop_trace()
                 profiling = False
                 print(f"trace written to {logdir / 'trace'}", flush=True)
-        start = (it * args.batch_size) % len(ds)
-        idcs = np.take(order, np.arange(start, start + args.batch_size),
+        pos = it * args.batch_size
+        epoch, start = divmod(pos, len(ds))
+        idcs = np.take(order_at(epoch),
+                       np.arange(start, start + args.batch_size),
                        mode="wrap")  # full-size batches: no reshape recompile
         batch = _collate([ds[int(i)] for i in idcs])
         arrays = {k: v for k, v in batch.items()
@@ -239,17 +249,12 @@ def _save_ckpt(ckpt_dir, params, stats, step, opt_state=None):
     ours is {params, batch_stats[, opt_state]} keyed by step. The optimizer
     state is saved only from the trainer so write/eval restores (which target
     params+stats) keep working on any checkpoint."""
-    import orbax.checkpoint as ocp
+    from diner_tpu.train.ckpt_io import orbax_save
 
-    ckpt_dir = Path(ckpt_dir).resolve()
-    ckpt_dir.mkdir(parents=True, exist_ok=True)
     payload = {"params": params, "batch_stats": stats}
     if opt_state is not None:
         payload["opt_state"] = opt_state
-    with ocp.CheckpointManager(str(ckpt_dir)) as mgr:
-        if step in mgr.all_steps():  # e.g. final save right after --save-every
-            return
-        mgr.save(step, args=ocp.args.StandardSave(payload), force=True)
+    orbax_save(ckpt_dir, step, payload)
 
 
 def _try_resume(ckpt_dir, params, stats, opt_state):
@@ -257,44 +262,23 @@ def _try_resume(ckpt_dir, params, stats, opt_state):
 
     Returns (params, stats, opt_state, start_step); (.., 0) when no
     checkpoint exists yet."""
-    import orbax.checkpoint as ocp
+    from diner_tpu.train.ckpt_io import adopt_opt_state, orbax_restore_latest
 
-    ckpt_dir = Path(ckpt_dir).resolve()
-    if not ckpt_dir.exists():
+    restored, step = orbax_restore_latest(ckpt_dir)
+    if restored is None:
         return params, stats, opt_state, 0
-    with ocp.CheckpointManager(str(ckpt_dir)) as mgr:
-        latest = mgr.latest_step()
-        if latest is None:
-            return params, stats, opt_state, 0
-        # targetless restore tolerates both checkpoint layouts
-        # ({params, batch_stats[, opt_state]}); StandardRestore with a fixed
-        # target raises on any tree mismatch in this orbax version
-        restored = mgr.restore(latest)
-        if "opt_state" in restored:
-            import jax as _jax
-
-            ref = _jax.tree.leaves(opt_state)
-            got = _jax.tree.leaves(restored["opt_state"])
-            if len(ref) == len(got):
-                opt_state = _jax.tree.unflatten(
-                    _jax.tree.structure(opt_state), got)
-            else:
-                print("resume: optimizer state layout changed; "
-                      "reinitializing it", flush=True)
-        else:
-            print("resume: checkpoint has no optimizer state; "
-                  "reinitializing it", flush=True)
-    return (restored["params"], restored["batch_stats"], opt_state,
-            int(latest))
+    return (restored["params"], restored["batch_stats"],
+            adopt_opt_state(restored, opt_state), step)
 
 
 def _restore_params_stats(ckpt_dir, variables):
     """Restore only params/batch_stats regardless of whether the checkpoint
     also carries optimizer state (trainer checkpoints do; see _save_ckpt)."""
-    import orbax.checkpoint as ocp
+    from diner_tpu.train.ckpt_io import orbax_restore_latest
 
-    with ocp.CheckpointManager(str(Path(ckpt_dir).resolve())) as mgr:
-        restored = mgr.restore(mgr.latest_step())
+    restored, _ = orbax_restore_latest(ckpt_dir)
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
     return {"params": restored["params"],
             "batch_stats": restored["batch_stats"]}
 
@@ -571,7 +555,11 @@ def cmd_fuse(args):
             Ks = jnp.stack([data[v]["K"] for v in views])
             exts = jnp.stack([data[v]["ext"] for v in views])
             confs = jnp.stack([data[v]["conf"] for v in views])
-            cols_in = jnp.stack([data[v]["img"] for v in views])
+            cols_in = jnp.stack([
+                data[v]["img"] if data[v]["img"] is not None
+                else np.full((*np.asarray(data[v]["depth"]).shape, 3), 0.5,
+                             np.float32)
+                for v in views])  # gray fallback like _fuse_normal
             if args.method == "dynamic":
                 avg, mask = filter_depths_dynamic(depths, Ks, exts, confs,
                                                   conf_thresh=args.conf)

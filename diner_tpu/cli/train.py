@@ -20,6 +20,17 @@ from diner_tpu.utils.profiling import setup_compilation_cache
 setup_compilation_cache()
 
 
+def _resolve_val_every(val_check_interval, loader):
+    """Lightning val_check_interval semantics: an int is a step count; a
+    float in (0, 1] is a FRACTION of an epoch (int() truncation used to
+    silently disable validation for 0.25 and validate every step for 1.0)."""
+    if not val_check_interval:
+        return None
+    if isinstance(val_check_interval, float) and 0 < val_check_interval <= 1:
+        return max(1, int(round(val_check_interval * max(len(loader), 1))))
+    return int(val_check_interval)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("config")
@@ -63,7 +74,11 @@ def main(argv=None):
             / time.strftime("%Y%m%d_%H%M%S")
     if jax.process_index() == 0:
         logdir.mkdir(parents=True, exist_ok=True)
-        shutil.copy(args.config, logdir / "config.yaml")
+        snap = logdir / "config.yaml"
+        # resuming with the run dir's own snapshot is the natural resume
+        # invocation — shutil.copy raises SameFileError on src == dst
+        if Path(args.config).resolve() != snap.resolve():
+            shutil.copy(args.config, snap)
     # provenance (the reference snapshots config + src/ into the run dir,
     # src/util/general.py:21-27; a git hash serves the same purpose here)
     try:
@@ -99,6 +114,10 @@ def main(argv=None):
         return model.apply(variables, arrays, rng, method="render_batch",
                            target_extrinsics=target_ext)
 
+    # one logger for every validation: a fresh MetricLogger per val call
+    # leaks a metrics.jsonl fd and fragments the TB event stream
+    val_logger = MetricLogger(logdir)
+
     def val_fn(state, step):
         eval_dir = logdir / f"eval_{step:06d}"
         visdir = eval_dir / "visualizations"
@@ -115,8 +134,8 @@ def main(argv=None):
 
         create_prediction_folder(render_fn, val_set, visdir, n_samples=n_score)
         scores = evaluate_folder(visdir, eval_dir)
-        MetricLogger(logdir).log(step, {f"valscores_{k}": v
-                                        for k, v in scores.items()})
+        val_logger.log(step, {f"valscores_{k}": v
+                              for k, v in scores.items()})
 
         # cam-sweep videos (diner.py:328-330), when configured and supported
         sweep_kw = dict(conf.get("optimizer", {}).get("kwargs", {})
@@ -147,7 +166,7 @@ def main(argv=None):
           max_steps=max_steps,
           ckpt_every=int(conf.get("checkpointing", {}).get("kwargs", {})
                          .get("every_n_train_steps", 10_000)),
-          val_every=int(val_every) if val_every else None,
+          val_every=_resolve_val_every(val_every, train_loader),
           val_fn=val_fn, resume=args.resume)
     print(f"training done -> {logdir}")
 

@@ -56,9 +56,7 @@ def port_diner_checkpoint(state_dict, n_blocks: int = 5,
                 if k.startswith("nerf.encoder.model.")}
     conv1_in = trunk_sd["conv1.weight"].shape[1]
     # their conv1 already contains the widened input; pass it through directly
-    trunk = port_resnet_trunk(
-        {**trunk_sd, "conv1.weight": trunk_sd["conv1.weight"]},
-        extra_in_channels=0)
+    trunk = port_resnet_trunk(trunk_sd, extra_in_channels=0)
     # overwrite conv1 with the full widened kernel (port_resnet_trunk assumed
     # 3 input channels only when widening itself)
     trunk["params"]["conv1"] = {"kernel": np.transpose(

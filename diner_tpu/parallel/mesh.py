@@ -33,13 +33,26 @@ def make_mesh(shape: Optional[Tuple[int, ...]] = None,
 
 
 def make_data_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
-    """Data mesh using the largest device count that divides `batch_size`
-    (a global batch smaller than the device count can't shard further)."""
-    import math
+    """Data mesh using the largest device count that divides `batch_size`.
 
-    devices = jax.devices() if devices is None else devices
-    n = math.gcd(batch_size, len(devices))
-    return Mesh(np.asarray(devices[:n]), ("data",))
+    Multi-host: the mesh takes the SAME number of chips from every process
+    (devices[:n] would grab host 0's chips first, leaving other hosts with
+    no addressable mesh device — their device_put/global_batch calls then
+    fail). gcd was wrong even single-host: gcd(6, 4)=2 idles a chip that a
+    batch of 6 could use (largest divisor of 6 that is <= 4 is 3)."""
+    devices = list(jax.devices() if devices is None else devices)
+    by_proc = {}
+    for d in devices:
+        by_proc.setdefault(getattr(d, "process_index", 0), []).append(d)
+    pc = len(by_proc)
+    per_host = min(len(v) for v in by_proc.values())
+    m = 1
+    for cand in range(per_host, 0, -1):
+        if batch_size % (cand * pc) == 0:
+            m = cand
+            break
+    chosen = [d for proc in sorted(by_proc) for d in by_proc[proc][:m]]
+    return Mesh(np.asarray(chosen), ("data",))
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:

@@ -63,48 +63,24 @@ class MetricLogger:
 
 
 def save_checkpoint(ckpt_dir, state, step: int):
-    import orbax.checkpoint as ocp
+    from diner_tpu.train.ckpt_io import orbax_save
 
-    ckpt_dir = Path(ckpt_dir).resolve()
-    ckpt_dir.mkdir(parents=True, exist_ok=True)
-    with ocp.CheckpointManager(str(ckpt_dir)) as mgr:
-        if step in mgr.all_steps():
-            # a resumed run's first periodic save can land on the step it
-            # restored from; orbax raises StepAlreadyExists on re-save
-            return
-        mgr.save(step, args=ocp.args.StandardSave(
-            {"params": state.params,
-             "batch_stats": state.batch_stats or {},
-             "opt_state": state.opt_state,
-             "step": np.asarray(step)}), force=True)
+    orbax_save(ckpt_dir, step,
+               {"params": state.params,
+                "batch_stats": state.batch_stats or {},
+                "opt_state": state.opt_state,
+                "step": np.asarray(step)})
 
 
 def restore_checkpoint(ckpt_dir, state, step: Optional[int] = None):
     """Restore params/batch_stats (and optimizer state when present) into
-    `state`; returns (state, step). Targetless restore tolerates both
-    checkpoint layouts (pre-opt_state checkpoints resume with a fresh
-    optimizer, reported on stdout)."""
-    import jax
-    import orbax.checkpoint as ocp
+    `state`; returns (state, step)."""
+    from diner_tpu.train.ckpt_io import adopt_opt_state, orbax_restore_latest
 
-    ckpt_dir = Path(ckpt_dir).resolve()
-    with ocp.CheckpointManager(str(ckpt_dir)) as mgr:
-        step = mgr.latest_step() if step is None else step
-        if step is None:
-            return state, 0
-        restored = mgr.restore(step)
-    opt_state = state.opt_state
-    if "opt_state" in restored:
-        ref = jax.tree.leaves(opt_state)
-        got = jax.tree.leaves(restored["opt_state"])
-        if len(ref) == len(got):
-            opt_state = jax.tree.unflatten(jax.tree.structure(opt_state), got)
-        else:
-            print("resume: optimizer state layout changed; reinitializing",
-                  flush=True)
-    else:
-        print("resume: checkpoint has no optimizer state; reinitializing",
-              flush=True)
+    restored, step = orbax_restore_latest(ckpt_dir, step)
+    if restored is None:
+        return state, 0
+    opt_state = adopt_opt_state(restored, state.opt_state)
     state = state.replace(
         params=restored["params"],
         batch_stats=restored["batch_stats"] or None,
@@ -169,11 +145,15 @@ def train(model, train_batches: Iterable, logdir, *,
             last_logged = step
             t0 = time.perf_counter()
             logger.log(step, scalars)
-        if ckpt_every and step > 0 and step % ckpt_every == 0:
+        if ckpt_every and (step + 1) % ckpt_every == 0 \
+                and step + 1 < max_steps:
             # ALL processes enter the save: serializing globally-placed
             # arrays is collective in orbax — a host-0-only save deadlocks
-            # multi-host training at the first checkpoint
-            save_checkpoint(logdir / "ckpts", state, step)
+            # multi-host training at the first checkpoint.
+            # Label = STEPS COMPLETED (step+1, same convention as the final
+            # save): labeling with `step` made resume re-apply an
+            # already-applied update
+            save_checkpoint(logdir / "ckpts", state, step + 1)
         if val_every and val_fn and step > 0 and step % val_every == 0 and is_host0:
             val_fn(_host_local_state(state), step)
 

@@ -41,7 +41,14 @@ def make_train_step(model):
                                      new_stats, state.batch_stats)
         loss_dict = dict(loss_dict)
         loss_dict["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
+        prev = state
         state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        # roll the ENTIRE state back on a skipped batch: even with zeroed
+        # grads, Adam would decay its momentum buffers, advance its count,
+        # and move params along stale momentum — the reference's NanError
+        # path leaves the optimizer untouched (train.py:213-227)
+        state = jax.tree.map(lambda n, o: jnp.where(finite, n, o),
+                             state, prev)
         return state, loss_dict
 
     return jax.jit(train_step, donate_argnums=(0,))

@@ -118,12 +118,15 @@ def test_remat_field_trains():
 def test_make_data_mesh_for_batch():
     from diner_tpu.parallel import make_data_mesh_for_batch
 
-    # 8 devices available in tests; batch 2 -> 2-device mesh, batch 3 -> 1,
-    # batch 8 -> 8, batch 12 -> 4
+    # 8 devices available in tests: LARGEST divisor of the batch that fits
+    # (gcd was wrong: batch 3 can use 3 chips, batch 12 -> 6, not 4)
     assert make_data_mesh_for_batch(2).shape["data"] == 2
-    assert make_data_mesh_for_batch(3).shape["data"] == 1
+    assert make_data_mesh_for_batch(3).shape["data"] == 3
     assert make_data_mesh_for_batch(8).shape["data"] == 8
-    assert make_data_mesh_for_batch(12).shape["data"] == 4
+    assert make_data_mesh_for_batch(12).shape["data"] == 6
+    assert make_data_mesh_for_batch(5).shape["data"] == 5
+    assert make_data_mesh_for_batch(7).shape["data"] == 7
+    assert make_data_mesh_for_batch(11).shape["data"] == 1
 
 
 def test_patch_anchor_erosion_thin_ring():
@@ -223,3 +226,72 @@ def test_process_local_slice_pads_to_equal():
     assert covered == set(range(n))  # padding wraps, never drops
     # unpadded keeps the plain strided slice for write/eval sharding
     assert process_local_slice(n, 7, pc) == list(range(7, n, pc))
+
+
+def test_make_data_mesh_for_batch_largest_divisor():
+    """gcd(batch, n_devices) was wrong: batch 6 on 4 devices must use 3
+    chips (largest divisor of 6 that fits), not gcd(6,4)=2."""
+    from diner_tpu.parallel import make_data_mesh_for_batch
+
+    devs = jax.devices()
+    if len(devs) >= 4:
+        assert make_data_mesh_for_batch(6, devs[:4]).devices.size == 3
+    assert make_data_mesh_for_batch(12, devs[:8]).devices.size == \
+        max(d for d in range(1, min(8, len(devs)) + 1) if 12 % d == 0)
+    assert make_data_mesh_for_batch(5, devs[:4]).devices.size == 1
+
+
+def test_periodic_checkpoint_resume_does_not_replay_steps(tmp_path):
+    """Periodic checkpoints label STEPS COMPLETED: training 2 steps, then
+    resuming from the periodic checkpoint and training 2 more must equal a
+    straight 4-step run (the old `step` labeling re-applied an
+    already-applied update on resume)."""
+    import itertools
+
+    import flax.linen as nn
+
+    from diner_tpu.train.loop import train
+
+    class Toy(nn.Module):
+        def setup(self):
+            self.d = nn.Dense(4)
+
+        def __call__(self, batch, rng=None, train=True):
+            return self.losses(batch, rng, train)
+
+        def losses(self, batch, rng=None, train=True):
+            y = self.d(batch["x"])
+            return {"total": jnp.mean((y - batch["y"]) ** 2)}
+
+    rs = np.random.RandomState(0)
+    batch = {"x": rs.randn(2, 4).astype(np.float32),
+             "y": rs.randn(2, 4).astype(np.float32)}
+    loader = lambda: itertools.repeat(batch)  # constant batch: rng-free model
+
+    from diner_tpu.train.loop import restore_checkpoint
+    from diner_tpu.train.state import create_train_state
+
+    # the PERIODIC checkpoint labeled 2 (from a 4-step run) must hold the
+    # params of exactly 2 completed steps
+    straight2 = train(Toy(), loader(), tmp_path / "a", max_steps=2,
+                      ckpt_every=0, log_every=10)
+    train(Toy(), loader(), tmp_path / "b", max_steps=4, ckpt_every=2,
+          log_every=10)
+    fresh = create_train_state(Toy(), jax.random.PRNGKey(0), batch)
+    periodic, step = restore_checkpoint(tmp_path / "b" / "ckpts", fresh,
+                                        step=2)
+    assert step == 2
+    for a, b in zip(jax.tree_util.tree_leaves(straight2.params),
+                    jax.tree_util.tree_leaves(periodic.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    # and resuming it runs steps 2,3 to match a straight 4-step run
+    straight4 = train(Toy(), loader(), tmp_path / "c", max_steps=4,
+                      ckpt_every=0, log_every=10)
+    import shutil
+
+    shutil.rmtree(tmp_path / "b" / "ckpts" / "4")  # leave only the periodic
+    resumed = train(Toy(), loader(), tmp_path / "b", max_steps=4,
+                    ckpt_every=0, log_every=10, resume=True)
+    for a, b in zip(jax.tree_util.tree_leaves(straight4.params),
+                    jax.tree_util.tree_leaves(resumed.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
