@@ -233,3 +233,20 @@ def test_final_checkpoint_saved_before_final_val(tmp_path):
     state = create_train_state(model, jax.random.PRNGKey(0), example)
     _, step = restore_checkpoint(logdir / "ckpts", state)
     assert step == 2  # the finished model was saved before val_fn ran
+
+
+def test_resolve_val_every_lightning_semantics():
+    """Fractional val_check_interval is a fraction of an epoch (Lightning);
+    int() truncation used to silently disable validation for 0.25."""
+    from diner_tpu.cli.train import _resolve_val_every
+
+    class L:
+        def __len__(self):
+            return 40
+
+    assert _resolve_val_every(0.25, L()) == 10
+    assert _resolve_val_every(1.0, L()) == 40   # once per epoch
+    assert _resolve_val_every(1, L()) == 1      # int = every N steps
+    assert _resolve_val_every(500, L()) == 500
+    assert _resolve_val_every(None, L()) is None
+    assert _resolve_val_every(0, L()) is None
