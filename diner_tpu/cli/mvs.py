@@ -195,15 +195,17 @@ def _train_impl(args, use_focal: bool):
 
     params = variables["params"]
     stats = variables["batch_stats"]
-    rng = np.random.RandomState(args.seed)
     # per-epoch reshuffle like the reference's shuffled DataLoader — one
-    # fixed permutation repeats identical batch compositions every epoch
-    epoch_orders = {0: rng.permutation(len(ds))}
+    # fixed permutation repeats identical batch compositions every epoch.
+    # Stateless per-epoch seed: resume lands in the same order it left
+    _order_cache = {}
 
     def order_at(epoch):
-        while epoch not in epoch_orders:
-            epoch_orders[max(epoch_orders) + 1] = rng.permutation(len(ds))
-        return epoch_orders[epoch]
+        if epoch not in _order_cache:
+            _order_cache.clear()  # one live epoch at a time
+            _order_cache[epoch] = np.random.RandomState(
+                args.seed + epoch).permutation(len(ds))
+        return _order_cache[epoch]
 
     logdir = Path(args.logdir)
     logdir.mkdir(parents=True, exist_ok=True)

@@ -594,23 +594,8 @@ class TnTEvalDataset:
 
     @staticmethod
     def _scale_input(img, K, max_w, max_h, base: int = 32):
-        from PIL import Image
-
-        h, w = img.shape[:2]
-        if h > max_h or w > max_w:
-            scale = max_h / h
-            if scale * w > max_w:
-                scale = max_w / w
-            new_w, new_h = scale * w // base * base, scale * h // base * base
-        else:
-            new_w, new_h = w // base * base, h // base * base
-        K = K.copy()
-        K[0] *= new_w / w
-        K[1] *= new_h / h
-        pil = Image.fromarray((img * 255).astype(np.uint8))
-        img = np.asarray(pil.resize((int(new_w), int(new_h)),
-                                    Image.BILINEAR), np.float32) / 255.0
-        return img, K
+        return GeneralEvalMVSDataset.scale_mvs_input(img, K, max_w, max_h,
+                                                     base)
 
     def __getitem__(self, idx):
         from PIL import Image
