@@ -218,6 +218,99 @@ def test_mvs_train_facescape_cli(fake_facescape, tmp_path):
     assert any((tmp_path / "tr" / "ckpts").iterdir())
 
 
+def test_mvs_write_then_diner_train_chain(fake_facescape, tmp_path):
+    """The reference's end-to-end workflow on ONE tree: the MVS writer
+    produces the depth/conf priors (write_to_facescape.sh), then DINER
+    trains consuming exactly those priors (train.py, configs/
+    train_facescape.yaml). Metas for both stages are generated and cached
+    BEFORE the write — view selection happens once per dataset in the
+    reference too — so the chained DINER stage reloads them and reads the
+    freshly written (untrained-net) priors instead of re-filtering on them.
+    """
+    import json
+    import shutil
+
+    import imageio.v2 as imageio
+    import yaml
+
+    from diner_tpu.cli.mvs import main as mvs_main
+    from diner_tpu.cli.train import main as train_main
+
+    shared_root, _ = fake_facescape
+    root = tmp_path / "facescape"
+    shutil.copytree(shared_root, root)
+    meta_dir = tmp_path / "meta"
+    meta_dir.mkdir()
+
+    common = dict(meta_dir=meta_dir, range_hor=45, range_vert=30,
+                  slide_range=0)
+    # cache metas for both stage variants on the pristine tree
+    ds_val = FacescapeDataset(root, stage="val", val_subjects=["001"],
+                              **common)
+    FacescapeDataset(root, stage="train", val_subjects=[], **common)
+    assert len(ds_val) > 0
+    probe = (root / "001" / "01" / ds_val.int_to_viewdir(
+        int(ds_val[0]["src_view_ids"][0])) / ds_val.DEPTH_FNAME)
+    original = probe.read_bytes()
+
+    kwargs = json.dumps({"meta_dir": str(meta_dir), "val_subjects": ["001"],
+                         "slide_range": 0})
+    mvs_main(["write", "--dataset", "facescape", "--datapath", str(root),
+              "--listfile", "unused", "--dataset-kwargs", kwargs,
+              "--ndepths", "8,8,8", "--numdepth", "16",
+              "--cr_base_chs", "4,4,4", "--base_channels", "4"])
+    assert probe.read_bytes() != original, "writer did not refresh the prior"
+
+    # the DINER dataset (cached metas) now serves the freshly written priors
+    ds_after = FacescapeDataset(root, stage="val", val_subjects=["001"],
+                                **common)
+    s = ds_after[0]
+    sid = int(s["src_view_ids"][0])
+    written = imageio.imread(
+        root / "001" / "01" / ds_after.int_to_viewdir(sid)
+        / ds_after.DEPTH_FNAME).astype(np.float32) * 1e-4
+    np.testing.assert_allclose(s["src_depths"][0, ..., 0], written, atol=1e-6)
+
+    # train DINER on the same tree via the CLI
+    fs_kwargs = dict(root=str(root), meta_dir=str(meta_dir), slide_range=0,
+                     range_hor=45, range_vert=30)
+    conf = {
+        "logger": {"kwargs": {"save_dir": str(tmp_path / "diner")}},
+        "data": {
+            "train": {"dataset": {"module": "FacescapeDataset",
+                                  "kwargs": {**fs_kwargs, "val_subjects": []}},
+                      "dataloader": {"kwargs": {"batch_size": 1,
+                                                "shuffle": True,
+                                                "num_workers": 1}}},
+            "val": {"dataset": {"module": "FacescapeDataset",
+                                "kwargs": {**fs_kwargs,
+                                           "val_subjects": ["001"]}},
+                    "dataloader": {"kwargs": {"batch_size": 1,
+                                              "shuffle": False}}}},
+        "nerf": {"kwargs": {
+            "encoder_conf": {"kwargs": {"num_layers": 2, "norm": "group",
+                                        "image_padding": 4, "padding_pe": 2}},
+            "poscode_conf": {"kwargs": {"num_freqs": 2, "freq_factor": 6.28,
+                                        "include_input": True}},
+            "mlp_fine_conf": {"kwargs": {"n_blocks": 2, "d_hidden": 16,
+                                         "combine_layer": 1}}}},
+        "renderer": {"kwargs": {"n_samples": 4, "n_depth_candidates": 16,
+                                "n_gaussian": 2, "white_bkgd": True}},
+        "optimizer": {"kwargs": {"lr": 1e-3, "ray_batch_size": 16,
+                                 "n_samples_score_eval": 1}},
+        "trainer": {"kwargs": {"max_steps": 2, "val_check_interval": 2}},
+        "checkpointing": {"kwargs": {"every_n_train_steps": 2}},
+    }
+    cfg_path = tmp_path / "chain.yaml"
+    cfg_path.write_text(yaml.safe_dump(conf))
+    run_dir = tmp_path / "diner" / "run"
+    train_main([str(cfg_path), "--run-dir", str(run_dir)])
+    assert any((run_dir / "ckpts").iterdir())
+    metrics = [json.loads(ln) for ln in
+               (run_dir / "metrics.jsonl").read_text().splitlines()]
+    assert any("total" in m and np.isfinite(m["total"]) for m in metrics)
+
+
 def test_random_ref_views_excludes_target_and_is_reproducible(fake_facescape):
     """random_ref_views must never leak the target view into the sources
     (ref rows hold the top-4 cams per corner, which can include the target),
