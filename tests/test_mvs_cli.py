@@ -252,6 +252,52 @@ def test_mvs_train_save_every_and_resume(tmp_path):
     assert set(restored) == {"params", "batch_stats"}
 
 
+def test_export_torch_cli_mvs(tmp_path):
+    """orbax MVS ckpt -> `export_torch mvs` -> reference-layout torch .ckpt
+    that port_transmvsnet loads back to the identical tree."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from diner_tpu.cli.export_torch import main as export_main
+    from diner_tpu.mvs.net import TransMVSNet
+    from diner_tpu.mvs.torch_port import port_transmvsnet
+    from diner_tpu.train.ckpt_io import orbax_save
+
+    rng = np.random.RandomState(0)
+    net = TransMVSNet(ndepths=(8, 8, 8), depth_intervals_ratio=(4, 2, 1),
+                      cr_base_chs=(4, 4, 4), base_channels=4)
+    B, V, H, W = 1, 3, 32, 32
+    imgs = jnp.asarray(rng.rand(B, V, H, W, 3).astype(np.float32))
+    projs = {}
+    for si, scale in enumerate((4, 2, 1)):
+        K4 = np.eye(4, dtype=np.float32)
+        K4[0, 0] = K4[1, 1] = 50.0 / scale
+        K4[0, 2], K4[1, 2] = W / (2 * scale), H / (2 * scale)
+        projs[f"stage{si + 1}"] = jnp.asarray(
+            np.stack([np.stack([np.eye(4, dtype=np.float32), K4])] * V)[None])
+    dvals = jnp.asarray(np.linspace(1.0, 2.0, 32, dtype=np.float32)[None])
+    variables = net.init(jax.random.PRNGKey(0), imgs, projs, dvals)
+
+    ckpt_dir = tmp_path / "ckpts"
+    orbax_save(ckpt_dir, 12, {"params": variables["params"],
+                              "batch_stats": variables["batch_stats"],
+                              "step": np.asarray(12)})
+    out = tmp_path / "transmvsnet.ckpt"
+    export_main(["mvs", "--ckpt", str(ckpt_dir), "--out", str(out)])
+
+    raw = torch.load(out, map_location="cpu", weights_only=False)
+    assert raw["epoch"] == 12
+    back = port_transmvsnet({k: v.numpy() for k, v in raw["model"].items()})
+    flat_a = jax.tree_util.tree_leaves_with_path(variables["params"])
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back["params"]))
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat_b[path]),
+                                      err_msg=str(path))
+
+
 def test_torch_ckpt_flag_ports_reference_checkpoint(tmp_path):
     """--torch-ckpt must load a reference-layout {'epoch', 'model', ...}
     torch checkpoint, port it, and pass the structural gate."""
