@@ -32,6 +32,8 @@ def _build_net(args):
         kw["base_channels"] = int(args.base_channels)
     if getattr(args, "compute_dtype", ""):
         kw["compute_dtype"] = args.compute_dtype
+    if getattr(args, "dcn_impl", ""):
+        kw["dcn_impl"] = args.dcn_impl
     return TransMVSNet(ndepths=tuple(int(x) for x in args.ndepths.split(",")),
                        depth_intervals_ratio=tuple(
                            float(x) for x in args.depth_inter_r.split(",")),
@@ -658,6 +660,12 @@ def main(argv=None):
                        help="bfloat16: bf16 convs/FMT/cost volumes "
                             "(~1.3x on TPU; geometry/softmax stay f32). "
                             "Default float32 = reference parity.")
+        p.add_argument("--dcn-impl", default="",
+                       choices=["", "gather", "window"],
+                       help="window: gather-free stencil DCN (~2.2x writer "
+                            "throughput; exact while |offset| < 1 px, "
+                            "checkpoints interchangeable). Default gather = "
+                            "exact reference semantics.")
         p.add_argument("--torch-ckpt", default=None,
                        help="port a reference TransMVSNet torch checkpoint "
                             "(structurally validated against the arch)")
@@ -714,6 +722,10 @@ def main(argv=None):
                     choices=["", "float32", "bfloat16"],
                     help="bfloat16: bf16 convs/FMT/cost volumes (~1.3x on "
                          "TPU; geometry/softmax stay f32)")
+    pe.add_argument("--dcn-impl", default="",
+                    choices=["", "gather", "window"],
+                    help="window: gather-free stencil DCN (~2.2x; exact "
+                         "while |offset| < 1 px)")
 
     pf = sub.add_parser("fuse", help="depth-map fusion to PLY "
                                      "(test.py:388-444 / gipuma.py:153-226)")

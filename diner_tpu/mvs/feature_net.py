@@ -20,20 +20,21 @@ class _DCNHead(nn.Module):
     out: int
     first_kernel: int = 3
     dtype: object = None
+    dcn_impl: str = "gather"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ConvBnRelu(self.mid, kernel=self.first_kernel,
                        dtype=self.dtype)(x, train)
-        x = DCNLayer(self.mid, dtype=self.dtype)(x)
+        x = DCNLayer(self.mid, dtype=self.dtype, impl=self.dcn_impl)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = DCNLayer(self.mid, dtype=self.dtype)(x)
+        x = DCNLayer(self.mid, dtype=self.dtype, impl=self.dcn_impl)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype)(x)
         x = nn.relu(x)
-        return DCNLayer(self.out, dtype=self.dtype)(x)
+        return DCNLayer(self.out, dtype=self.dtype, impl=self.dcn_impl)(x)
 
 
 def _upsample_nearest2(x):
@@ -44,6 +45,7 @@ def _upsample_nearest2(x):
 class FeatureNet(nn.Module):
     base_channels: int = 8
     dtype: object = None
+    dcn_impl: str = "gather"  # see DCNLayer.impl
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -65,13 +67,16 @@ class FeatureNet(nn.Module):
         out = {}
         intra = c2
         out["stage1"] = _DCNHead(4 * b, 4 * b, first_kernel=1, dtype=dt,
+                                 dcn_impl=self.dcn_impl,
                                  name="out1")(intra, train)
         intra = _upsample_nearest2(intra) + nn.Conv(4 * b, (1, 1), dtype=dt,
                                                     name="inner1")(c1)
         out["stage2"] = _DCNHead(4 * b, 2 * b, dtype=dt,
+                                 dcn_impl=self.dcn_impl,
                                  name="out2")(intra, train)
         intra = _upsample_nearest2(intra) + nn.Conv(4 * b, (1, 1), dtype=dt,
                                                     name="inner2")(c0)
         out["stage3"] = _DCNHead(4 * b, b, dtype=dt,
+                                 dcn_impl=self.dcn_impl,
                                  name="out3")(intra, train)
         return out

@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from diner_tpu.mvs.ops import deform_conv2d
+from diner_tpu.mvs.ops import deform_conv2d, deform_conv2d_window
 
 _kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
@@ -77,11 +77,19 @@ class Deconv3dBnRelu(nn.Module):
 
 
 class DCNLayer(nn.Module):
-    """Deformable conv v2 with learned offset+mask branch (zero-init)."""
+    """Deformable conv v2 with learned offset+mask branch (zero-init).
+
+    impl: "gather" = exact reference semantics (quad-packed row gathers);
+    "window" = gather-free stencil (`deform_conv2d_window`), exact while
+    |offset| < 1 px for the 3x3 kernel — an opt-in throughput knob on the
+    issue-rate-bound gather unit. Parameters are identical either way, so
+    checkpoints are interchangeable between the two implementations.
+    """
 
     ch: int
     kernel: int = 3
     dtype: object = None
+    impl: str = "gather"
 
     @nn.compact
     def __call__(self, x):
@@ -100,5 +108,6 @@ class DCNLayer(nn.Module):
         weight = self.param("weight", _kaiming, (k, k, x.shape[-1], self.ch))
         bias = self.param("bias", nn.initializers.zeros, (self.ch,))
         dt = self.dtype or jnp.float32
-        return deform_conv2d(x.astype(dt), offset, mask.astype(dt),
-                             weight.astype(dt), bias.astype(dt))
+        fn = deform_conv2d_window if self.impl == "window" else deform_conv2d
+        return fn(x.astype(dt), offset, mask.astype(dt),
+                  weight.astype(dt), bias.astype(dt))

@@ -79,6 +79,10 @@ class TransMVSNet(nn.Module):
     # with depth deltas well under the hypothesis spacing (PERFORMANCE.md
     # round 3). Default f32 = reference parity.
     compute_dtype: str = "float32"
+    # "window" swaps the DCN heads to the gather-free stencil implementation
+    # (deform_conv2d_window: exact while |offset| < 1 px, params identical,
+    # checkpoints interchangeable). Default "gather" = exact semantics.
+    dcn_impl: str = "gather"
 
     @property
     def _dt(self):
@@ -86,7 +90,8 @@ class TransMVSNet(nn.Module):
 
     def setup(self):
         dt = self._dt
-        self.feature = FeatureNet(base_channels=self.base_channels, dtype=dt)
+        self.feature = FeatureNet(base_channels=self.base_channels, dtype=dt,
+                                  dcn_impl=self.dcn_impl)
         self.fmt_with_pathway = FMTWithPathway(
             base_channels=self.base_channels, dtype=dt)
         self.cost_regularization = [

@@ -109,6 +109,91 @@ def deform_conv2d(x, offset, mask, weight, bias=None):
     return out
 
 
+def deform_conv2d_window(x, offset, mask, weight, bias=None, margin: int = 2):
+    """Gather-free deformable conv: a data-weighted stencil over statically
+    shifted feature maps. Same signature/params as `deform_conv2d`.
+
+    Every tap displacement k + offset is clamped to [-margin, margin) around
+    its pixel, and the bilinear sample is rebuilt from the (2*margin+2)^2
+    static shifts of the zero-padded map — so the op contains NO gather at
+    all. The v5e gather unit is issue-rate bound (~120-150M rows/s,
+    PERFORMANCE.md) and the 9-tap DCN heads dominate the FeatureNet profile;
+    the stencil form replaces 9*H*W gather rows per layer with fused
+    shifted-slice multiply-adds on the VPU.
+
+    Key identity: the DCN mask is a per-pixel SCALAR and the kernel matmul
+    is linear, so both commute with the bilinear blend:
+        out[p] = sum_t m_t(p) * sum_s w_{t,s}(p) * (x[p+s] @ W_t)
+    with s over static window shifts and w_{t,s} the bilinear corner weight
+    (nonzero for at most 4 shifts per tap). Z_t = x @ W_t is computed once
+    per tap (MXU) and the shift loop is an XLA-fused stencil over Z_t.
+
+    Exactness: bit-equal in exact arithmetic to `deform_conv2d` whenever all
+    |k + offset| < margin, i.e. |offset| < margin - 1 for a 3x3 kernel
+    (offsets are zero-init, reference dcn.py:43-80, and stay well under 1 px
+    after training); taps beyond the window are clamped to its edge instead
+    of to the image bound. Default stays the exact gather implementation —
+    this is an opt-in throughput knob (`TransMVSNet(dcn_impl="window")`).
+    """
+    N, H, W, C = x.shape
+    K = weight.shape[0]
+    taps = K * K
+    pad = (K - 1) // 2
+    O = weight.shape[-1]
+    R = int(margin)
+
+    f32 = jnp.float32
+    ky, kx = jnp.meshgrid(jnp.arange(K, dtype=f32) - pad,
+                          jnp.arange(K, dtype=f32) - pad, indexing="ij")
+    ky = ky.reshape(-1)
+    kx = kx.reshape(-1)
+
+    off = offset.reshape(N, H, W, taps, 2).astype(f32)
+    # displacement relative to the pixel, clamped into the window; the -1e-3
+    # keeps floor() in [-R, R-1] so every bilinear corner is a valid shift
+    dy = jnp.clip(ky + off[..., 0], -float(R), R - 1e-3)  # (N, H, W, taps)
+    dx = jnp.clip(kx + off[..., 1], -float(R), R - 1e-3)
+    c0y = jnp.floor(dy)
+    c0x = jnp.floor(dx)
+    fy = (dy - c0y).astype(x.dtype)
+    fx = (dx - c0x).astype(x.dtype)
+    c0y = c0y.astype(jnp.int32)
+    c0x = c0x.astype(jnp.int32)
+    m = mask.astype(x.dtype)  # (N, H, W, taps)
+
+    def per_tap(t):  # -> (taps, N, H, W)
+        return jnp.moveaxis(t, -1, 0)
+
+    xs = (weight.reshape(taps, C, O).astype(x.dtype), per_tap(c0y),
+          per_tap(c0x), per_tap(fy), per_tap(fx), per_tap(m))
+
+    def tap_body(acc, tap):
+        wt, c0y_t, c0x_t, fy_t, fx_t, m_t = tap
+        z = jnp.einsum("nhwc,co->nhwo", x, wt,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        # corners span shifts [-R, R] (c0 in [-R, R-1], +1 for the far corner)
+        zp = jnp.pad(z, ((0, 0), (R, R + 1), (R, R + 1), (0, 0)))
+        y = jnp.zeros((N, H, W, O), f32)
+        for a in range(-R, R + 1):
+            wy = jnp.where(c0y_t == a, 1 - fy_t, 0) \
+                + jnp.where(c0y_t == a - 1, fy_t, 0)
+            for b in range(-R, R + 1):
+                wx = jnp.where(c0x_t == b, 1 - fx_t, 0) \
+                    + jnp.where(c0x_t == b - 1, fx_t, 0)
+                wgt = (wy * wx * m_t)[..., None]
+                zs = jax.lax.slice(
+                    zp, (0, R + a, R + b, 0), (N, R + a + H, R + b + W, O))
+                y = y + (wgt * zs).astype(f32)
+        return acc + y, None
+
+    acc0 = jnp.zeros((N, H, W, O), f32)
+    out, _ = jax.lax.scan(tap_body, acc0, xs)
+    out = out.astype(x.dtype)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 def homo_warping(src_fea, src_proj, ref_proj, depth_values):
     """Plane-sweep warp of source features into the reference frustum.
 

@@ -165,10 +165,14 @@ def test_mvs_write_facescape_cli(fake_facescape, tmp_path):
     shutil.copytree(shared_meta, meta_dir)
     kwargs = json.dumps({"meta_dir": str(meta_dir), "val_subjects": ["001"],
                          "slide_range": 0})
+    # --dcn-impl window drives the gather-free stencil DCN through the full
+    # CLI (the default gather path stays covered by the data-parallel and
+    # chain tests)
     main(["write", "--dataset", "facescape", "--datapath", str(root),
           "--listfile", "unused", "--dataset-kwargs", kwargs,
           "--ndepths", "8,8,8", "--numdepth", "16",
-          "--cr_base_chs", "4,4,4", "--base_channels", "4"])
+          "--cr_base_chs", "4,4,4", "--base_channels", "4",
+          "--dcn-impl", "window"])
     written = list(root.rglob("*_TransMVSNet.png"))
     assert written, "no depth priors written"
     assert list(root.rglob("*_TransMVSNet_conf.png"))

@@ -50,6 +50,67 @@ def test_deform_conv_offset_shifts_samples():
     assert out[0, 3, 4, 0] == 0.0
 
 
+def test_deform_conv_window_matches_gather():
+    """deform_conv2d_window == deform_conv2d while |k + offset| stays inside
+    the window margin (its exactness domain: |offset| < 1 px at margin=2 for
+    a 3x3 kernel); out-of-window offsets clamp to the window edge and stay
+    finite. Same params either way — checkpoints are interchangeable."""
+    from diner_tpu.mvs.ops import deform_conv2d_window
+
+    rng = np.random.RandomState(7)
+    N, H, W, C, O, K = 2, 11, 14, 5, 6, 3
+    x = jnp.asarray(rng.randn(N, H, W, C).astype(np.float32))
+    offset = jnp.asarray(
+        ((rng.rand(N, H, W, 2 * K * K) - 0.5) * 1.8).astype(np.float32))
+    mask = jnp.asarray(rng.rand(N, H, W, K * K).astype(np.float32))
+    w = jnp.asarray((rng.randn(K, K, C, O) * 0.3).astype(np.float32))
+    b = jnp.asarray(rng.randn(O).astype(np.float32))
+
+    ref = np.asarray(deform_conv2d(x, offset, mask, w, b))
+    win = np.asarray(deform_conv2d_window(x, offset, mask, w, b, margin=2))
+    np.testing.assert_allclose(win, ref, rtol=1e-4, atol=1e-5)
+
+    # beyond the window the op clamps (approximation) but never NaNs
+    far = np.asarray(deform_conv2d_window(x, offset * 5.0, mask, w, b))
+    assert np.isfinite(far).all()
+
+
+def test_cascade_window_dcn_matches_gather_at_init():
+    """The full cascade under dcn_impl='window' reproduces the gather
+    cascade at init (offsets are zero-init, so the window path is exact),
+    with an identical parameter tree."""
+    B, V, H, W = 1, 3, 32, 64
+    rng = np.random.RandomState(3)
+    imgs = jnp.asarray(rng.rand(B, V, H, W, 3).astype(np.float32))
+    projs = {}
+    for si, scale in enumerate((4, 2, 1)):
+        K4 = np.eye(4, dtype=np.float32)
+        K4[0, 0] = K4[1, 1] = 200.0 / scale
+        K4[0, 2], K4[1, 2] = W / (2 * scale), H / (2 * scale)
+        stack = []
+        for v in range(V):
+            ext = np.eye(4, dtype=np.float32)
+            ext[0, 3] = 0.05 * (v - V // 2)
+            stack.append(np.stack([ext, K4]))
+        projs[f"stage{si + 1}"] = jnp.asarray(np.stack(stack)[None])
+    dvals = jnp.asarray(np.linspace(1.0, 3.0, 32, np.float32)[None])
+
+    kw = dict(ndepths=(8, 8, 8), depth_intervals_ratio=(4, 2, 1),
+              cr_base_chs=(4, 4, 4), base_channels=4)
+    net_g = TransMVSNet(**kw)
+    net_w = TransMVSNet(dcn_impl="window", **kw)
+    variables = net_g.init(jax.random.PRNGKey(0), imgs, projs, dvals)
+    assert jax.tree.structure(variables) == jax.tree.structure(
+        net_w.init(jax.random.PRNGKey(0), imgs, projs, dvals))
+    out_g = net_g.apply(variables, imgs, projs, dvals)
+    out_w = net_w.apply(variables, imgs, projs, dvals)
+    np.testing.assert_allclose(np.asarray(out_w["depth"]),
+                               np.asarray(out_g["depth"]), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_w["stage3"]["prob_volume"]),
+        np.asarray(out_g["stage3"]["prob_volume"]), rtol=1e-3, atol=1e-4)
+
+
 def test_homo_warping_identity():
     """Identical projections + any depth -> warped == source features."""
     B, H, W, C, D = 1, 8, 10, 3, 4
