@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
+import traceback
 
 import jax
 
@@ -150,6 +152,7 @@ def main():
             dt_t = bench_train(net, variables, imgs, projs, dvals, args.iters)
             line["train_steps_per_sec"] = round(1.0 / dt_t, 2)
         except Exception as e:  # noqa: BLE001 - report, keep the main line
+            traceback.print_exc(file=sys.stderr)
             line["train_error"] = f"{type(e).__name__}: {e}"[:200]
 
     if args.components:
@@ -191,6 +194,7 @@ def main():
         res_w = benchmark(warp_all, s1, proj, dv1, warmup=1, iters=3)
         line["homo_warp_stage1_ms"] = round(res_w["median_s"] * 1e3, 1)
       except Exception as e:  # noqa: BLE001 - report, keep the main line
+        traceback.print_exc(file=sys.stderr)
         line["components_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(json.dumps(line))

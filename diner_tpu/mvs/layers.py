@@ -93,6 +93,10 @@ class DCNLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.impl not in ("gather", "window"):
+            raise ValueError(
+                f"DCNLayer impl must be 'gather' or 'window', got "
+                f"{self.impl!r}")
         k = self.kernel
         taps = k * k
         om = nn.Conv(3 * taps, (k, k), padding=[((k - 1) // 2,) * 2] * 2,

@@ -129,11 +129,17 @@ def deform_conv2d_window(x, offset, mask, weight, bias=None, margin: int = 2):
     per tap (MXU) and the shift loop is an XLA-fused stencil over Z_t.
 
     Exactness: bit-equal in exact arithmetic to `deform_conv2d` whenever all
-    |k + offset| < margin, i.e. |offset| < margin - 1 for a 3x3 kernel
-    (offsets are zero-init, reference dcn.py:43-80, and stay well under 1 px
-    after training); taps beyond the window are clamped to its edge instead
-    of to the image bound. Default stays the exact gather implementation —
-    this is an opt-in throughput knob (`TransMVSNet(dcn_impl="window")`).
+    |k + offset| < margin - 1e-3 (the clip below reserves 1e-3 at the far
+    edge so floor() stays in [-R, R-1]), i.e. |offset| < margin - 1 - 1e-3
+    for a 3x3 kernel (offsets are zero-init, reference dcn.py:43-80, and
+    stay well under 1 px after training); taps beyond the window are clamped
+    to its edge instead of to the image bound. Training caveat: the clamp
+    zeroes the gradient w.r.t. offsets that drift past the window, so taps
+    outside it stop receiving offset gradient through this op — training
+    with dcn_impl="window" cannot pull a runaway offset back via this tap
+    (the mask/weight branches still train). Default stays the exact gather
+    implementation — this is an opt-in throughput knob
+    (`TransMVSNet(dcn_impl="window")`).
     """
     N, H, W, C = x.shape
     K = weight.shape[0]

@@ -75,6 +75,16 @@ def test_deform_conv_window_matches_gather():
     assert np.isfinite(far).all()
 
 
+def test_dcn_layer_rejects_unknown_impl():
+    """A typo'd impl string must error, not silently fall back to gather
+    (the CLI guards with argparse choices; the Python API must too)."""
+    from diner_tpu.mvs.layers import DCNLayer
+
+    x = jnp.zeros((1, 4, 4, 2))
+    with pytest.raises(ValueError, match="gather.*window|window.*gather"):
+        DCNLayer(ch=2, impl="windows").init(jax.random.PRNGKey(0), x)
+
+
 def test_cascade_window_dcn_matches_gather_at_init():
     """The full cascade under dcn_impl='window' reproduces the gather
     cascade at init (offsets are zero-init, so the window path is exact),
@@ -93,7 +103,7 @@ def test_cascade_window_dcn_matches_gather_at_init():
             ext[0, 3] = 0.05 * (v - V // 2)
             stack.append(np.stack([ext, K4]))
         projs[f"stage{si + 1}"] = jnp.asarray(np.stack(stack)[None])
-    dvals = jnp.asarray(np.linspace(1.0, 3.0, 32, np.float32)[None])
+    dvals = jnp.asarray(np.linspace(1.0, 3.0, 32, dtype=np.float32)[None])
 
     kw = dict(ndepths=(8, 8, 8), depth_intervals_ratio=(4, 2, 1),
               cr_base_chs=(4, 4, 4), base_channels=4)
