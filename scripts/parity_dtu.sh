@@ -13,18 +13,30 @@
 # Usage:
 #   scripts/parity_dtu.sh --ckpt path/to/diner_dtu.ckpt --data path/to/DTU \
 #       [--out outputs/parity_dtu] [--n 100] [--nsamples N] \
-#       [--lpips lpips_vgg.npz] [--ref-pred DIR] [--ref-scores JSON]
+#       [--lpips lpips_vgg.npz] [--ref-pred DIR] [--ref-scores JSON] \
+#       [--time-reference REF_DIR [--ref-python PY] [--ref-config YAML]] \
+#       [--ref-timing JSON]
 #
 #   --ref-pred:   a prediction folder rendered by the REFERENCE code (if you
 #                 have one) — scored with the same scorer for a true
 #                 same-subset comparison.
 #   --ref-scores: alternatively, a JSON of published/known reference means
 #                 {"psnr": ..., "ssim": ..., "lpips": ...}.
+#   --time-reference: path to a malteprinzler/diner checkout; times the
+#                 reference renderer itself on the same subset via
+#                 scripts/time_reference_render.py and emits measured rays/s
+#                 next to ours — retiring bench.py's estimated 50k rays/s
+#                 denominator. Use --ref-python to point at the reference
+#                 environment's python (the reference needs torchvision etc.,
+#                 which this repo's env does not ship).
+#   --ref-timing: alternatively, a JSON already produced by
+#                 time_reference_render.py on the reference machine.
 set -euo pipefail
 
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 CKPT="" DATA="" OUT="outputs/parity_dtu" N="" NSAMPLES="" LPIPS="" REF_PRED="" REF_SCORES=""
 CONFIG="$REPO/configs/train_dtu.yaml" DS_KWARGS="{}"
+TIME_REF="" REF_PYTHON="python" REF_CONFIG="" REF_TIMING=""
 
 while [[ $# -gt 0 ]]; do
   case "$1" in
@@ -38,6 +50,10 @@ while [[ $# -gt 0 ]]; do
     --ref-scores) REF_SCORES="$2"; shift 2;;
     --config) CONFIG="$2"; shift 2;;
     --dataset-kwargs) DS_KWARGS="$2"; shift 2;;
+    --time-reference) TIME_REF="$2"; shift 2;;
+    --ref-python) REF_PYTHON="$2"; shift 2;;
+    --ref-config) REF_CONFIG="$2"; shift 2;;
+    --ref-timing) REF_TIMING="$2"; shift 2;;
     *) echo "unknown arg $1"; exit 2;;
   esac
 done
@@ -73,12 +89,22 @@ if [[ -n "$REF_PRED" ]]; then
   python -m diner_tpu.cli.eval_folder "${SARGS[@]}"
 fi
 
+# 3b. time the reference renderer itself on the same subset (if an env given)
+if [[ -n "$TIME_REF" ]]; then
+  TARGS=(--ref-dir "$TIME_REF" --ckpt "$CKPT"
+         --config "${REF_CONFIG:-$TIME_REF/configs/evaluate_diner_on_dtu.yaml}"
+         --out "$OUT/reference_timing.json")
+  [[ -n "$N" ]] && TARGS+=(--n "$N")
+  "$REF_PYTHON" "$REPO/scripts/time_reference_render.py" "${TARGS[@]}"
+  REF_TIMING="$OUT/reference_timing.json"
+fi
+
 # 4. side-by-side table + gate check
-python - "$OUT/port" "$REF_PRED" "$REF_SCORES" <<'PY'
+python - "$OUT/port" "$REF_PRED" "$REF_SCORES" "$REF_TIMING" <<'PY'
 import json, sys
 from pathlib import Path
 
-port_dir, ref_pred, ref_scores = sys.argv[1:]
+port_dir, ref_pred, ref_scores, ref_timing = sys.argv[1:]
 port = json.loads((Path(port_dir) / "average_scores.json").read_text())
 ref = None
 if ref_pred:
@@ -100,8 +126,15 @@ for k in cols:
         if k == "lpips" and abs(d) > 0.005:
             ok = False
     print(row)
+if ref_timing:
+    tm = json.loads(Path(ref_timing).read_text())
+    print(f"\nreference renderer (measured): "
+          f"{tm['reference_rays_per_sec']:.1f} rays/s on {tm['device']} "
+          f"({tm['frames']} frames) — use this as the vs_baseline "
+          f"denominator instead of bench.py's estimate")
 if ref:
     print("PARITY GATE:", "PASS (psnr +-0.1 dB, lpips +-0.005)" if ok else "FAIL")
     sys.exit(0 if ok else 1)
-print("(no reference folder/scores given - port metrics only)")
+if not ref_timing:
+    print("(no reference folder/scores given - port metrics only)")
 PY

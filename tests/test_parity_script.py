@@ -62,6 +62,14 @@ optimizer:
     ref_scores = tmp_path / "ref.json"
     ref_scores.write_text(json.dumps({"psnr": 10.0, "ssim": 0.5}))
 
+    # a measured-timing JSON (as written by scripts/time_reference_render.py
+    # in the reference environment) -> exercises the vs_baseline retirement row
+    ref_timing = tmp_path / "reference_timing.json"
+    ref_timing.write_text(json.dumps({
+        "reference_rays_per_sec": 48211.0, "secs_per_frame": 1.7,
+        "frames": 8, "total_rays": 655360, "device": "cuda",
+        "torch": "1.11.0", "ckpt": "x", "config": "y"}))
+
     env = dict(os.environ)
     env["PYTHONPATH"] = str(REPO)  # drop the axon site dir -> clean CPU
     env["JAX_PLATFORMS"] = "cpu"
@@ -71,10 +79,11 @@ optimizer:
          "--ckpt", str(ckpt), "--data", str(root),
          "--out", str(out), "--n", "1", "--config", str(cfg),
          "--dataset-kwargs", json.dumps({"split_dir": str(split_dir)}),
-         "--ref-scores", str(ref_scores)],
+         "--ref-scores", str(ref_scores), "--ref-timing", str(ref_timing)],
         env=env, capture_output=True, text=True, timeout=1500)
     assert "DTU parity table" in res.stdout, res.stdout + res.stderr
     assert "PARITY GATE" in res.stdout
+    assert "reference renderer (measured): 48211.0 rays/s" in res.stdout
     scores = json.loads((out / "port" / "average_scores.json").read_text())
     assert {"psnr", "ssim", "l1", "l2"} <= set(scores)
     assert np.isfinite(list(scores.values())).all()
