@@ -1,0 +1,114 @@
+"""Regression gate for the certified fast render path's GT delta.
+
+The round-4 certification (scripts/certify_fast_path.py, PERFORMANCE.md)
+measured the shipped fast preset (prior anchors + quad latent + bf16) at
+-0.064 dB PSNR-vs-GT against the exact-f32 render on a TRAINED model at
+256x320. This test pins that property against regressions in the anchor /
+quad / bf16 code paths using a committed trained fixture
+(tests/fixtures/fastpath_tiny.npz, reproduced by
+scripts/make_fastpath_fixture.py): approximation error only shows once the
+field has sharp structure — at random weights every path trivially agrees,
+which is how the round-3 latent-anchor quality claims went wrong.
+
+Gate: |PSNR_GT(fast) - PSNR_GT(exact_f32)| <= 0.1 dB (BASELINE.md), at the
+fixture's scale. The uncertified turbo knob (latent_anchors) must ALSO show
+its measured degradation — if it suddenly matches exact, the test setup
+stopped exercising the approximation.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+FIXTURE = Path(__file__).parent / "fixtures" / "fastpath_tiny.npz"
+
+pytestmark = pytest.mark.skipif(
+    not FIXTURE.exists(),
+    reason="trained fixture not built (scripts/make_fastpath_fixture.py)")
+
+
+def _load_fixture():
+    data = np.load(FIXTURE)
+    meta = json.loads(str(data["__meta__"]))
+    params = {}
+    for key in data.files:
+        if key == "__meta__":
+            continue
+        node = params
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(data[key].astype(np.float32))
+    return params, meta
+
+
+@pytest.fixture(scope="module")
+def rendered_paths():
+    from diner_tpu.core.types import RenderConfig
+    from diner_tpu.data import SyntheticSphereDataset, collate, to_device_batch
+    from diner_tpu.models import PixelNeRF
+    from diner_tpu.models.diner import DINER
+
+    params, meta = _load_fixture()
+    kw = dict(meta["model_kw"])
+    rkw = dict(meta["render_kw"])
+
+    # held-out scene (same val split the fixture was validated on), rendered
+    # at 2x the training resolution so epipolar chords are long enough to
+    # stress the anchor approximation
+    H, W = 128, 160
+    ds = SyntheticSphereDataset(n_scenes=1, n_views=meta["data_kw"]["n_views"],
+                                H=H, W=W, seed=777)
+    batch = to_device_batch(collate([ds[0]]))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()
+             if not isinstance(v, list)}
+
+    paths = {
+        "exact_f32": (dict(kw), dict(rkw, n_prior_anchors=0)),
+        "fast": (dict(kw, compute_dtype="bfloat16", quad_latent=True),
+                 dict(rkw, n_prior_anchors=96)),
+        "turbo": (dict(kw, compute_dtype="bfloat16", quad_latent=True,
+                       latent_anchors=8),
+                  dict(rkw, n_prior_anchors=96)),
+    }
+    gt = np.asarray(batch["target_rgb"])
+    out = {}
+    for name, (mkw, rk) in paths.items():
+        model = DINER(nerf=PixelNeRF(**mkw), render_cfg=RenderConfig(**rk),
+                      znear=meta["znear"], zfar=meta["zfar"])
+        rgb, _ = jax.jit(lambda v, b, r, m=model: m.apply(
+            v, b, r, method="render_batch"))(
+                {"params": params}, batch, jax.random.PRNGKey(0))
+        out[name] = np.clip(np.asarray(rgb), 0.0, 1.0)
+    return out, gt
+
+
+def _psnr(pred, gt):
+    from diner_tpu.eval.metrics import psnr
+
+    return float(psnr(pred, gt))
+
+
+def test_fast_path_gt_delta_within_certified_envelope(rendered_paths):
+    out, gt = rendered_paths
+    p_exact = _psnr(out["exact_f32"], gt)
+    p_fast = _psnr(out["fast"], gt)
+    assert p_exact > 20.0, f"fixture renders garbage ({p_exact:.2f} dB) — " \
+                           f"regenerate it"
+    delta = p_fast - p_exact
+    assert abs(delta) <= 0.1, (
+        f"certified fast path drifted: PSNR-vs-GT delta {delta:+.3f} dB "
+        f"(exact {p_exact:.3f}, fast {p_fast:.3f}) — outside the 0.1 dB "
+        f"certification envelope")
+
+
+def test_turbo_path_still_exercises_the_approximation(rendered_paths):
+    """latent_anchors=8 measured -1.8 dB vs GT at flagship scale. If the
+    turbo render suddenly equals the fast render bit-for-bit, the latent
+    anchors stopped doing anything and the gate above proves nothing."""
+    out, _ = rendered_paths
+    assert np.abs(out["turbo"] - out["fast"]).max() > 1e-4
