@@ -1,32 +1,40 @@
-"""Benchmark: flagship-config throughput on one chip — render (anchor + exact
-paths) and a training step. Prints ONE JSON line.
+"""Benchmark: flagship-config throughput on one chip — certified fast render
+path (built FROM the shipped config), exact reference path, turbo preview
+path, and a training step. Prints ONE JSON line.
 
 Workload mirrors the reference's DTU configuration (BASELINE.md,
 configs/train_dtu.yaml in malteprinzler/diner): 4 source views,
-ResNet34 pixel-aligned encoder at image_padding=64 (the flagship padding —
-NOT the lighter 16 earlier rounds benched), 1000 depth candidates ->
-40 samples/ray, 512-wide conditioned MLP with view-mean, alpha compositing;
-one 256x320 image (81,920 rays) per timed iteration in jitted chunks.
+ResNet34 pixel-aligned encoder at image_padding=64 (the flagship padding),
+1000 depth candidates -> 40 samples/ray, 512-wide conditioned MLP with
+view-mean, alpha compositing; one 256x320 image (81,920 rays) per timed
+iteration in jitted chunks.
 
-Primary metric: fast-path rays/s — epipolar-anchor prior fetch (A=64,
-within the reference's own +-0.5 px nearest-pixel quantization; ~39 dB
-vs exact) + epipolar-anchor latent fetch (8 anchors over each ray's sample
-segment, 2-hot MXU interpolation; 45.2 dB PSNR vs the exact-latent render
-on this scene — see PERFORMANCE.md round 3). Also reported:
-  - anchor_rays_per_sec: prior anchors only, exact per-sample latent;
-  - exact_rays_per_sec: n_prior_anchors=0, bit-parity reference semantics;
+Primary metric: rays/s of the CERTIFIED fast preset, constructed from
+configs/evaluate_diner_on_dtu_fast.yaml via cli.build (the same wiring eval
+users get) — epipolar-anchor priors A=96 + quad-packed exact bilinear latent
++ bf16 compute. On the trained 384-scene checkpoint this path measures
+-0.064 dB PSNR-vs-GT against the exact-f32 render at 256x320
+(scripts/certify_fast_path.py, results/certify_fastpath_r4.json,
+PERFORMANCE.md round 4). Also reported:
+  - exact_rays_per_sec: n_prior_anchors=0, f32 — bit-parity reference
+    semantics;
+  - exact_bf16_quad_rays_per_sec: the certified quality-first preset
+    (-0.004 dB vs GT, only bf16 compute deviates);
+  - turbo_rays_per_sec: + latent_anchors 8 — NOT certified (-1.8 dB vs GT
+    on trained weights), preview-only;
   - train_steps_per_sec: DTU-recipe training step (batch 2, fg-anchored
     64x64 VGG+antibias patches = 8192 rays/step, encode + backward).
 
 vs_baseline: BASELINE.json publishes no reference numbers; the PyTorch/A100
-renderer is estimated at ~5.0e4 rays/s (SURVEY.md §3.1). vs_baseline =
-fast-path rays/s / 5.0e4 (the headline `value` field), so the >=10x north
-star reads as >=10 across 8 chips; the slower anchor/exact paths are
-reported alongside for per-semantics comparison.
+renderer is estimated at ~5.0e4 rays/s (SURVEY.md §3.1) until
+scripts/parity_dtu.sh --time-reference measures it. vs_baseline =
+certified-path rays/s / 5.0e4, so the >=10x north star reads as >=10 across
+8 chips.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 
 import jax
@@ -38,33 +46,31 @@ setup_compilation_cache()
 import jax.numpy as jnp
 
 BASELINE_RAYS_PER_SEC = 5.0e4
+FAST_CONFIG = "configs/evaluate_diner_on_dtu_fast.yaml"
 H, W = 256, 320
 CHUNK = 4096
 WARMUP = 2
 ITERS = 5
 
 
-def _flagship_model(**kw):
-    from diner_tpu.models import PixelNeRF
+def _certified_model_and_cfg():
+    """Build the benched model/render-config FROM the shipped fast preset —
+    the bench number is reproducible by any config-driven render_eval user."""
+    from diner_tpu.cli.build import build_nerf, build_render_cfg
+    from diner_tpu.core.config import load_config
 
-    return PixelNeRF(encoder_layers=4, encoder_norm="group",
-                     image_padding=64, padding_pe=4,
-                     n_blocks=5, d_hidden=512, combine_layer=3,
-                     compute_dtype="bfloat16", **kw)
+    conf = load_config(FAST_CONFIG)
+    return build_nerf(conf["nerf"]), build_render_cfg(conf["renderer"])
 
 
-def bench_render(n_prior_anchors: int, iters: int = ITERS,
-                 latent_anchors: int = 0):
-    from diner_tpu.core.types import RenderConfig
+def bench_render(model, cfg, iters: int = ITERS):
     from diner_tpu.data import SyntheticSphereDataset, collate, to_device_batch
     from diner_tpu.geometry import gen_rays
     from diner_tpu.renderer import render_image
     from diner_tpu.utils.jitinit import jit_init
     from diner_tpu.utils.profiling import benchmark
 
-    model = _flagship_model(quad_latent=True, latent_anchors=latent_anchors)
-    cfg = RenderConfig(n_samples=40, n_depth_candidates=1000, n_gaussian=15,
-                       n_prior_anchors=n_prior_anchors)
+    cfg = dataclasses.replace(cfg, eval_chunk_rays=CHUNK)
 
     ds = SyntheticSphereDataset(n_scenes=1, n_views=4, H=H, W=W)
     batch = to_device_batch(collate([ds[0]]))
@@ -102,13 +108,18 @@ def bench_train_step(iters: int = ITERS):
     optimizer block; reference diner.py:57 spatch=64)."""
     from diner_tpu.core.types import RenderConfig
     from diner_tpu.data import SyntheticSphereDataset, collate, to_device_batch
+    from diner_tpu.models import PixelNeRF
     from diner_tpu.models.diner import DINER
     from diner_tpu.train.state import create_train_state
     from diner_tpu.train.step import make_train_step
     from diner_tpu.utils.profiling import benchmark
 
     SB = 2
-    model = DINER(nerf=_flagship_model(remat_field=True),
+    nerf = PixelNeRF(encoder_layers=4, encoder_norm="group",
+                     image_padding=64, padding_pe=4,
+                     n_blocks=5, d_hidden=512, combine_layer=3,
+                     compute_dtype="bfloat16", remat_field=True)
+    model = DINER(nerf=nerf,
                   render_cfg=RenderConfig(n_samples=40,
                                           n_depth_candidates=1000,
                                           n_gaussian=15),
@@ -146,9 +157,14 @@ def bench_train_step(iters: int = ITERS):
 
 
 def main():
-    dt_fast = bench_render(64, latent_anchors=8)
-    dt_anchor = bench_render(64, iters=3)
-    dt_exact = bench_render(0, iters=3)
+    nerf, cfg = _certified_model_and_cfg()
+    dt_fast = bench_render(nerf, cfg)
+    dt_exact_quality = bench_render(nerf, dataclasses.replace(
+        cfg, n_prior_anchors=0), iters=3)
+    dt_exact = bench_render(
+        nerf.clone(compute_dtype=None, quad_latent=False),
+        dataclasses.replace(cfg, n_prior_anchors=0), iters=3)
+    dt_turbo = bench_render(nerf.clone(latent_anchors=8), cfg, iters=3)
     dt_step = bench_train_step()
     rays = H * W / dt_fast
     print(json.dumps({
@@ -156,10 +172,22 @@ def main():
         "value": round(rays, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays / BASELINE_RAYS_PER_SEC, 3),
+        # BASELINE.json publishes no reference numbers; the denominator is an
+        # estimate until scripts/parity_dtu.sh --time-reference measures it
+        "vs_baseline_basis": f"estimated {BASELINE_RAYS_PER_SEC:.0e} rays/s "
+                             "(PyTorch A100, no published numbers; see "
+                             "scripts/time_reference_render.py)",
+        "path": "certified fast preset (configs/evaluate_diner_on_dtu_fast"
+                ".yaml): prior anchors A=96 + quad exact latent + bf16; "
+                "-0.064 dB PSNR-vs-GT vs exact-f32 on the trained 384-scene "
+                "checkpoint (results/certify_fastpath_r4.json)",
         "secs_per_frame_256x320": round(dt_fast, 4),
-        "anchor_rays_per_sec": round(H * W / dt_anchor, 1),
+        "exact_bf16_quad_rays_per_sec": round(H * W / dt_exact_quality, 1),
         "exact_rays_per_sec": round(H * W / dt_exact, 1),
         "exact_secs_per_frame": round(dt_exact, 4),
+        "turbo_rays_per_sec": round(H * W / dt_turbo, 1),
+        "turbo_note": "latent_anchors=8 preview knob; NOT certified "
+                      "(-1.8 dB vs GT on trained weights)",
         "train_steps_per_sec": round(1.0 / dt_step, 2),
         "image_padding": 64,
         "device": str(jax.devices()[0]),

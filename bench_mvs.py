@@ -117,7 +117,22 @@ def main():
     ap.add_argument("--dcn", default="gather", choices=["gather", "window"],
                     help="DCN implementation: exact row-gather (default) or "
                          "the gather-free stencil (exact while |offset|<1px)")
+    ap.add_argument("--shape", default="512x640",
+                    help="HxW (default = the reference's DTU write shape)")
+    ap.add_argument("--ndepths", default="48,32,8")
+    ap.add_argument("--numdepth", type=int, default=192)
+    ap.add_argument("--views", type=int, default=5)
+    ap.add_argument("--skip-infer", action="store_true",
+                    help="skip the writer timing (train-step bisects)")
     args = ap.parse_args()
+
+    # shape overrides (scripts/bisect_mvs_train.py sweeps these to find the
+    # largest train-step program the environment can compile)
+    global H, W, V, NDEPTHS, NUMDEPTH
+    H, W = (int(x) for x in args.shape.split("x"))
+    V = args.views
+    NDEPTHS = tuple(int(x) for x in args.ndepths.split(","))
+    NUMDEPTH = args.numdepth
 
     from diner_tpu.utils.profiling import benchmark
 
@@ -129,20 +144,28 @@ def main():
         out = net.apply(variables, imgs, projs, dvals)
         return out["depth"], out["photometric_confidence"]
 
-    res = benchmark(infer, variables, imgs, projs, dvals,
-                    warmup=2, iters=args.iters)
-    dt = res["median_s"]
-    line = {
-        "metric": "mvs_depth_maps_per_min_per_chip",
-        "value": round(60.0 * args.batch / dt, 1),
-        "unit": "depth-maps/min",
-        "secs_per_map_512x640": round(dt / args.batch, 4),
-        "batch": args.batch,
-        "ndepths": list(NDEPTHS),
-        "compute_dtype": args.dtype,
-        "dcn_impl": args.dcn,
-        "device": str(jax.devices()[0]),
-    }
+    if args.skip_infer:
+        line = {"metric": "mvs_train_bisect", "batch": args.batch,
+                "ndepths": list(NDEPTHS), "shape": f"{H}x{W}",
+                "numdepth": NUMDEPTH, "views": V}
+    else:
+        res = benchmark(infer, variables, imgs, projs, dvals,
+                        warmup=2, iters=args.iters)
+        dt = res["median_s"]
+        line = {
+            "metric": "mvs_depth_maps_per_min_per_chip",
+            "value": round(60.0 * args.batch / dt, 1),
+            "unit": "depth-maps/min",
+            f"secs_per_map_{H}x{W}": round(dt / args.batch, 4),
+            "batch": args.batch,
+            "shape": f"{H}x{W}",
+            "numdepth": NUMDEPTH,
+            "views": V,
+            "ndepths": list(NDEPTHS),
+            "compute_dtype": args.dtype,
+            "dcn_impl": args.dcn,
+            "device": str(jax.devices()[0]),
+        }
 
     # the optional sections must not lose the primary metric: the remote-TPU
     # tunnel in this sandbox occasionally drops a compile mid-read, and a

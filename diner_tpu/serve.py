@@ -39,6 +39,23 @@ class RenderServer:
     (static shapes keep a single compiled program per bucket).
     """
 
+    @classmethod
+    def from_preset(cls, config_path, variables, znear: float, zfar: float,
+                    **kw):
+        """Build a server from a YAML render preset — e.g. the CERTIFIED
+        fast preset (configs/evaluate_diner_on_dtu_fast.yaml: prior anchors
+        A=96 + quad latent + bf16, -0.06 dB vs GT on the trained checkpoint;
+        PERFORMANCE.md round 4 has the per-shape throughput table).
+        `variables` must match the preset's model dims (e.g. a checkpoint
+        trained with the paired train config)."""
+        from diner_tpu.cli.build import build_nerf, build_render_cfg
+        from diner_tpu.core.config import load_config
+
+        conf = load_config(config_path)
+        return cls(build_nerf(conf.get("nerf", {})), variables,
+                   build_render_cfg(conf.get("renderer", {})),
+                   znear, zfar, **kw)
+
     def __init__(self, model, variables, cfg: RenderConfig,
                  znear: float, zfar: float,
                  buckets: Tuple[Tuple[int, int], ...] = ((256, 320),),

@@ -43,6 +43,32 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
+def _flagship_paths():
+    """Paths for --flagship-sampling: quality deltas at the reference's DTU
+    sampling scale (1000 candidates / 40 samples / 15 gaussian) on the
+    trained checkpoint. Throughput certification for these knobs comes from
+    the flagship-shape (padding-64) sweep, scripts/sweep_flagship_knobs.py —
+    NOT from the timings this script prints (the trained plateau model is a
+    padding-16 architecture, lighter than flagship)."""
+    bfq = {"compute_dtype": "bfloat16", "latent_anchors": 0,
+           "quad_latent": True}
+    return [
+        ("exact_f32", {"compute_dtype": None, "latent_anchors": 0},
+         {"n_prior_anchors": 0}),
+        ("exact_bf16_quad", dict(bfq), {"n_prior_anchors": 0}),
+        ("anchor64_quad", dict(bfq), {"n_prior_anchors": 64}),
+        ("anchor96_quad", dict(bfq), {"n_prior_anchors": 96}),
+        ("anchor128_quad", dict(bfq), {"n_prior_anchors": 128}),
+        ("anchor96_quad_ns32", dict(bfq),
+         {"n_prior_anchors": 96, "n_samples": 32}),
+        ("anchor96_quad_nc512", dict(bfq),
+         {"n_prior_anchors": 96, "n_depth_candidates": 512}),
+        ("anchor96_quad_nc512_ns32", dict(bfq),
+         {"n_prior_anchors": 96, "n_depth_candidates": 512, "n_samples": 32}),
+        ("fast8", dict(bfq, latent_anchors=8), {"n_prior_anchors": 96}),
+    ]
+
+
 def _render_paths():
     """(name, model-overrides, render-cfg-overrides) per certified path."""
     bf = {"compute_dtype": "bfloat16", "latent_anchors": 0}
@@ -89,6 +115,12 @@ def main(argv=None):
     ap.add_argument("--paths", default=None,
                     help="comma list subset of exact_f32,exact_bf16,anchor,"
                          "fast16,fast8")
+    ap.add_argument("--flagship-sampling", action="store_true",
+                    help="override the run's renderer to the reference's "
+                         "flagship sampling (1000 candidates / 40 samples / "
+                         "15 gaussian) and sweep the _flagship_paths() rows; "
+                         "quality deltas only — flagship THROUGHPUT comes "
+                         "from scripts/sweep_flagship_knobs.py")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -107,6 +139,9 @@ def main(argv=None):
                                    if k in ("n_scenes", "n_views", "H", "W",
                                             "depth_std", "seed")})
 
+    if args.flagship_sampling:
+        conf.setdefault("renderer", {}).setdefault("kwargs", {}).update(
+            n_depth_candidates=1000, n_samples=40, n_gaussian=15)
     base = build_diner(conf, znear=ds.znear, zfar=ds.zfar)
     batches = [to_device_batch(collate([ds[i]])) for i in range(len(ds))]
     batches = [{k: jnp.asarray(v) for k, v in b.items()
@@ -121,7 +156,9 @@ def main(argv=None):
 
     wanted = args.paths.split(",") if args.paths else None
     results = {}
-    for name, nerf_over, cfg_over in _render_paths():
+    paths = (_flagship_paths() if args.flagship_sampling
+             else _render_paths())
+    for name, nerf_over, cfg_over in paths:
         if wanted and name not in wanted:
             continue
         cfg_kw = {"eval_chunk_rays": args.chunk, **cfg_over}
@@ -162,9 +199,15 @@ def main(argv=None):
         ref_psnr = results["exact_f32"]["psnr_gt"]
         for name, r in results.items():
             r["psnr_delta_vs_exact_f32"] = round(r["psnr_gt"] - ref_psnr, 3)
-            r["certified_10x"] = bool(
-                abs(r["psnr_delta_vs_exact_f32"]) <= 0.1
-                and r["rays_per_sec"] >= 62500.0)
+            if args.flagship_sampling:
+                # speed half of the gate comes from the flagship-shape sweep
+                # (sweep_flagship_knobs.py), not this lighter trained model
+                r["within_gate_0p1db"] = bool(
+                    abs(r["psnr_delta_vs_exact_f32"]) <= 0.1)
+            else:
+                r["certified_10x"] = bool(
+                    abs(r["psnr_delta_vs_exact_f32"]) <= 0.1
+                    and r["rays_per_sec"] >= 62500.0)
 
     out = {
         "run_dir": str(run), "step": int(step),
@@ -173,6 +216,13 @@ def main(argv=None):
         "device": str(jax.devices()[0]),
         "paths": results,
     }
+    if args.flagship_sampling:
+        out["mode"] = ("flagship-sampling: renderer overridden to 1000 "
+                       "candidates / 40 samples / 15 gaussian; PSNR/SSIM "
+                       "deltas are the deliverable. secs_per_frame / "
+                       "rays_per_sec here are the trained PLATEAU "
+                       "architecture (padding 16) — flagship-shape "
+                       "throughput lives in sweep_flagship_knobs.py output")
     line = json.dumps(out)
     print(line)
     if args.out:

@@ -48,6 +48,49 @@ def test_serve_load_render_unload(server_and_data):
     assert server.unload_scene("s0") and not server.unload_scene("s0")
 
 
+def test_serve_from_preset(tmp_path):
+    """RenderServer.from_preset builds model + render config from a YAML
+    preset (the certified-fast-preset deployment path)."""
+    import yaml
+
+    conf = {
+        "nerf": {"kwargs": {
+            "compute_dtype": "bfloat16", "quad_latent": True,
+            "encoder_conf": {"kwargs": {"num_layers": 2, "norm": "group",
+                                        "image_padding": 4,
+                                        "padding_pe": 2}},
+            "mlp_fine_conf": {"kwargs": {"n_blocks": 2, "d_hidden": 32,
+                                         "combine_layer": 1}}}},
+        "renderer": {"kwargs": {"n_samples": 6, "n_depth_candidates": 32,
+                                "n_gaussian": 2, "n_prior_anchors": 8}},
+    }
+    p = tmp_path / "preset.yaml"
+    p.write_text(yaml.safe_dump(conf))
+
+    H = W = 32
+    ds = SyntheticSphereDataset(n_scenes=1, n_views=2, H=H, W=W)
+    b = {k: jnp.asarray(v)
+         for k, v in to_device_batch(collate([ds[0]])).items()}
+    from diner_tpu.cli.build import build_nerf
+    from diner_tpu.core.config import load_config
+
+    model = build_nerf(load_config(p)["nerf"])
+    xyz = jnp.zeros((1, 1, 3))
+    variables = model.init(jax.random.PRNGKey(0), b["src_rgbs"],
+                           b["src_depths"], b["src_depth_stds"],
+                           b["src_extrinsics"], b["src_intrinsics"], xyz, xyz)
+    server = RenderServer.from_preset(p, variables, ds.znear, ds.zfar,
+                                      buckets=((H, W),), chunk=256)
+    assert server.cfg.n_prior_anchors == 8
+    assert server.model.quad_latent is True
+    server.load_scene("s", b["src_rgbs"], b["src_depths"],
+                      b["src_depth_stds"], b["src_extrinsics"],
+                      b["src_intrinsics"])
+    rgb, depth = server.render("s", b["target_extrinsics"],
+                               b["target_intrinsics"], H, W)
+    assert rgb.shape == (1, H, W, 3) and np.isfinite(np.asarray(rgb)).all()
+
+
 def test_serve_threaded_requests(server_and_data):
     from concurrent.futures import ThreadPoolExecutor
 
