@@ -65,6 +65,10 @@ def _flagship_paths():
          {"n_prior_anchors": 96, "n_depth_candidates": 512}),
         ("anchor96_quad_nc512_ns32", dict(bfq),
          {"n_prior_anchors": 96, "n_depth_candidates": 512, "n_samples": 32}),
+        ("anchor96_quad_int8", dict(bfq, latent_quant="int8"),
+         {"n_prior_anchors": 96}),
+        ("exact_quad_int8", dict(bfq, latent_quant="int8"),
+         {"n_prior_anchors": 0}),
         ("fast8", dict(bfq, latent_anchors=8), {"n_prior_anchors": 96}),
     ]
 

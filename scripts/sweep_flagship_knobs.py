@@ -50,6 +50,10 @@ def main(argv=None):
           "eval_chunk_rays": 8192}),
         ("exact_quad_c8192", nerf,
          {"n_prior_anchors": 0, "eval_chunk_rays": 8192}),
+        ("a96_quad_int8_c4096", nerf.clone(latent_quant="int8"), {}),
+        ("a128_quad_c4096", nerf, {"n_prior_anchors": 128}),
+        ("exact_quad_int8_c8192", nerf.clone(latent_quant="int8"),
+         {"n_prior_anchors": 0, "eval_chunk_rays": 8192}),
     ]
 
     wanted = args.only.split(",") if args.only else None
