@@ -158,6 +158,40 @@ def pack_quad(img):
     return jnp.concatenate([img, right, down, diag], axis=-1)
 
 
+def quad_cells(H, W, uv):
+    """Texel-cell decomposition of normalized coords for a quad-packed image.
+
+    uv: (..., 2) in [-1, 1] (align_corners=False). Returns (idx, wx, wy):
+    idx (int32) the flat H*W row id of the cell's top-left corner, wx/wy the
+    in-cell bilinear weights. `quad_blend(rows[idx], wx, wy)` equals
+    grid_sample(img, uv, "bilinear", "border") on the unpacked image.
+    """
+    ix = jnp.clip(_unnormalize(uv[..., 0], W), 0.0, W - 1.0)
+    iy = jnp.clip(_unnormalize(uv[..., 1], H), 0.0, H - 1.0)
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    idx = (jnp.clip(y0.astype(jnp.int32), 0, H - 1) * W
+           + jnp.clip(x0.astype(jnp.int32), 0, W - 1))
+    return idx, ix - x0, iy - y0
+
+
+def quad_blend(rows, wx, wy):
+    """Bilinear combine of quad-packed corner rows.
+
+    rows: (..., 4C) with slots [self, right, down, diag]; wx/wy: (...)
+    in-cell weights (broadcastable against rows' leading dims). -> (..., C).
+    """
+    C = rows.shape[-1] // 4
+    wx = wx[..., None]
+    wy = wy[..., None]
+    p00 = rows[..., 0 * C:1 * C]
+    p01 = rows[..., 1 * C:2 * C]  # right
+    p10 = rows[..., 2 * C:3 * C]  # down
+    p11 = rows[..., 3 * C:4 * C]
+    return (p00 * (1 - wx) * (1 - wy) + p01 * wx * (1 - wy)
+            + p10 * (1 - wx) * wy + p11 * wx * wy)
+
+
 def grid_sample_quad(img_quad, uv):
     """Bilinear/border sampling from a `pack_quad`-packed image.
 
@@ -167,28 +201,15 @@ def grid_sample_quad(img_quad, uv):
     """
     batch_shape = img_quad.shape[:-3]
     H, W, C4 = img_quad.shape[-3:]
-    C = C4 // 4
     N = uv.shape[-2]
     imgs = img_quad.reshape((-1, H * W, C4))
     uvs = uv.reshape((-1, N, 2))
 
-    ix = jnp.clip(_unnormalize(uvs[..., 0], W), 0.0, W - 1.0)
-    iy = jnp.clip(_unnormalize(uvs[..., 1], H), 0.0, H - 1.0)
-    x0 = jnp.floor(ix)
-    y0 = jnp.floor(iy)
-    wx = (ix - x0)[..., None]
-    wy = (iy - y0)[..., None]
-    idx = (jnp.clip(y0.astype(jnp.int32), 0, H - 1) * W
-           + jnp.clip(x0.astype(jnp.int32), 0, W - 1))
+    idx, wx, wy = quad_cells(H, W, uvs)
     rows = jnp.take_along_axis(imgs, idx[..., None], axis=1,
                                mode="clip")  # (B, N, 4C)
-    p00 = rows[..., 0 * C:1 * C]
-    p01 = rows[..., 1 * C:2 * C]  # right
-    p10 = rows[..., 2 * C:3 * C]  # down
-    p11 = rows[..., 3 * C:4 * C]
-    out = (p00 * (1 - wx) * (1 - wy) + p01 * wx * (1 - wy)
-           + p10 * (1 - wx) * wy + p11 * wx * wy)
-    return out.reshape((*batch_shape, N, C))
+    out = quad_blend(rows, wx, wy)
+    return out.reshape((*batch_shape, N, C4 // 4))
 
 
 def exponential_pad(img, padding: int, double_width: float):

@@ -15,12 +15,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from diner_tpu.core.types import SceneEncoding
 from diner_tpu.geometry import depth2normal, transform_points, project_points
 from diner_tpu.image_ops import grid_sample
-from diner_tpu.image_ops.grid_sample import pack_quad, grid_sample_quad
+from diner_tpu.image_ops.grid_sample import (pack_quad, grid_sample_quad,
+                                             quad_blend, quad_cells)
 from diner_tpu.nn import SpatialEncoder, ResnetFC, posenc, posenc_dim
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
@@ -109,6 +111,98 @@ def index_latent_anchored(enc: SceneEncoding, uv, epi_aux, n_anchors: int):
     out = jnp.einsum("svrna,svrac->svrnc", two_hot, lat,
                      precision=jax.lax.Precision.HIGHEST)
     return out.reshape(SB, NV, B, out.shape[-1])
+
+
+def index_latent_strided(enc: SceneEncoding, uv, n_rays: int, stride: int):
+    """Strided quad-latent fetch with cell-sharing exactness.
+
+    Gathers quad rows only at every `stride`-th sample along each ray and
+    reconstructs the skipped samples:
+      - a skipped sample whose texel cell equals a fetched neighbor's cell
+        gets its EXACT bilinear value (the neighbor's quad row already holds
+        all 4 corners; only the in-cell weights differ), and
+      - only cell-crossing samples fall back to a chord-linear interpolation
+        of the two neighboring fetched values.
+
+    Depth-guided samples cluster sub-texel near the surface prior, so the
+    fallback fires mostly on spread (low-evidence) rays — the construction
+    is exact wherever round-3's `latent_anchors` interpolation lost quality.
+    Cuts the dominant render-time gather rows by `stride`.
+
+    uv: (SB, NV, B, 2) ray-major with B = n_rays * NS, samples z-sorted
+    (chord-monotone). Requires the quad-packed latent and NS % stride == 0.
+    Returns (SB, NV, B, C).
+    """
+    if enc.latent_quad is None:
+        raise ValueError("latent_sample_stride requires quad_latent=True")
+    SB, NV, B, _ = uv.shape
+    NR = n_rays
+    NS = B // NR
+    L = stride
+    if NS % L:
+        raise ValueError(f"n_samples={NS} not divisible by "
+                         f"latent_sample_stride={L}")
+    P = NS // L
+
+    uvs = _scale_uv_for_feature_padding(enc, uv)
+    Hq, Wq, C4 = enc.latent_quad.shape[-3:]
+    idx, wx, wy = quad_cells(Hq, Wq, uvs)  # (SB, NV, B)
+
+    # fetch positions: 0, L, ..., (P-1)L plus the LAST sample, so every
+    # sample group is bracketed by real anchors (P+1 rows per ray)
+    f_pos = np.concatenate([np.arange(P) * L, [NS - 1]])  # (P+1,) static
+    idx_s = idx.reshape(SB, NV, NR, NS)
+    idx_f = idx_s[..., f_pos]  # (SB, NV, NR, P+1)
+    imgs = enc.latent_quad.reshape(SB * NV, Hq * Wq, C4)
+    rows_f = jnp.take_along_axis(
+        imgs, idx_f.reshape(SB * NV, NR * (P + 1))[..., None], axis=1,
+        mode="clip").reshape(SB, NV, NR, P + 1, C4)
+    rows_e, rows_n = rows_f[..., :P, :], rows_f[..., 1:, :]
+    idx_e, idx_n = idx_f[..., :P], idx_f[..., 1:]
+
+    idx_r = idx_s.reshape(SB, NV, NR, P, L)
+    # heavy elementwise runs in the latent's own dtype (bf16 at flagship):
+    # the f32 variant materializes ~10 GB of (B, C) f32 temps per 4096-ray
+    # chunk and overflows the 16 GB chip; the blend error is below the bf16
+    # quantization already applied to the rows
+    wdt = rows_f.dtype
+    wx_r = wx.reshape(SB, NV, NR, P, L).astype(wdt)
+    wy_r = wy.reshape(SB, NV, NR, P, L).astype(wdt)
+
+    # exact value through the matching anchor's row at each sample's own
+    # in-cell weights: pick the row FIRST (left if the cell matches it,
+    # else right — r=0 always matches left, the final sample its right
+    # anchor = itself), then blend ONCE
+    same_left = idx_r == idx_e[..., None]
+    same_right = idx_r == idx_n[..., None]
+    rows_sel = jnp.where(same_left[..., None], rows_e[..., None, :],
+                         rows_n[..., None, :])  # (SB, NV, NR, P, L, 4C)
+    val_cell = quad_blend(rows_sel, wx_r, wy_r)
+
+    # fallback: chord-linear interpolation between the anchors' own values
+    # (collinear uv -> projection parameter t in [0, 1])
+    uvs_f = uvs.reshape(SB, NV, NR, NS, 2)
+    uv_anchor = uvs_f[..., f_pos, :]  # (SB, NV, NR, P+1, 2)
+    uv_l, uv_n = uv_anchor[..., :P, :], uv_anchor[..., 1:, :]
+    wx_f, wy_f = wx.reshape(idx_s.shape)[..., f_pos].astype(wdt), \
+        wy.reshape(idx_s.shape)[..., f_pos].astype(wdt)
+    val_anchor = quad_blend(rows_f, wx_f, wy_f)  # (SB, NV, NR, P+1, C)
+    duv = uv_n - uv_l
+    dd = jnp.sum(duv * duv, axis=-1)  # (SB, NV, NR, P)
+    uvs_r = uvs_f.reshape(SB, NV, NR, P, L, 2)
+    t = jnp.sum((uvs_r - uv_l[..., None, :]) * duv[..., None, :], axis=-1)
+    t = jnp.clip(jnp.where(dd[..., None] > 1e-12,
+                           t / jnp.maximum(dd[..., None], 1e-12), 0.0),
+                 0.0, 1.0).astype(wdt)  # (SB, NV, NR, P, L)
+    v_l = val_anchor[..., :P, None, :]   # broadcast over L
+    v_n = val_anchor[..., 1:, None, :]
+    val_lerp = v_l * (1.0 - t[..., None]) + v_n * t[..., None]
+
+    out = jnp.where((same_left | same_right)[..., None], val_cell, val_lerp)
+    out = out.reshape(SB, NV, B, out.shape[-1])
+    if enc.latent_scale is not None:
+        out = out * enc.latent_scale
+    return out
 
 
 def index_depth(enc: SceneEncoding, uv):
@@ -201,6 +295,14 @@ class PixelNeRF(nn.Module):
     # anchor_field_depth); 0 = exact per-sample bilinear (reference
     # semantics). Validate PSNR-vs-exact before eval-parity runs.
     latent_anchors: int = 0
+    # >1: strided quad-latent fetch (index_latent_strided) — gather quad rows
+    # at every stride-th sample; skipped samples are EXACT whenever they share
+    # a texel cell with a fetched neighbor (the quad row holds all 4 corners)
+    # and chord-lerp otherwise. Cuts the dominant render-time gather rows by
+    # `stride` with far tighter error than latent_anchors (which lerps every
+    # sample). Needs quad_latent and the sampler's EpiAnchors ray-major
+    # ordering (n_prior_anchors > 0 with anchor_field_depth). 0/1 = exact.
+    latent_sample_stride: int = 0
     # initial bias of the sigma output channel: keeps the relu density head
     # alive at init (a dead head freezes training — zero compositing weights
     # give zero gradients). 0.0 reproduces the reference's zero-bias init.
@@ -297,6 +399,9 @@ class PixelNeRF(nn.Module):
         if self.latent_anchors and epi_aux is not None:
             latent = index_latent_anchored(enc, uv, epi_aux,
                                            self.latent_anchors)
+        elif self.latent_sample_stride > 1 and epi_aux is not None:
+            latent = index_latent_strided(enc, uv, epi_aux.uv0.shape[2],
+                                          self.latent_sample_stride)
         else:
             latent = index_latent(enc, uv)  # (SB, NV, B, C)
         if epi_aux is not None:

@@ -70,6 +70,14 @@ def _flagship_paths():
         ("exact_quad_int8", dict(bfq, latent_quant="int8"),
          {"n_prior_anchors": 0}),
         ("fast8", dict(bfq, latent_anchors=8), {"n_prior_anchors": 96}),
+        # strided quad fetch: skipped samples are EXACT when they share a
+        # texel cell with a fetched neighbor; chord-lerp only on crossings
+        ("anchor96_quad_ls2", dict(bfq, latent_sample_stride=2),
+         {"n_prior_anchors": 96}),
+        ("anchor128_quad_ls2", dict(bfq, latent_sample_stride=2),
+         {"n_prior_anchors": 128}),
+        ("anchor96_quad_ls4", dict(bfq, latent_sample_stride=4),
+         {"n_prior_anchors": 96}),
     ]
 
 

@@ -54,6 +54,14 @@ def main(argv=None):
         ("a128_quad_c4096", nerf, {"n_prior_anchors": 128}),
         ("exact_quad_int8_c8192", nerf.clone(latent_quant="int8"),
          {"n_prior_anchors": 0, "eval_chunk_rays": 8192}),
+        # strided quad fetch: half the gather rows; skipped samples exact
+        # whenever they share a texel cell with a fetched neighbor
+        ("a96_quad_ls2_c4096", nerf.clone(latent_sample_stride=2), {}),
+        ("a96_quad_ls2_c8192", nerf.clone(latent_sample_stride=2),
+         {"eval_chunk_rays": 8192}),
+        ("a128_quad_ls2_c4096",
+         nerf.clone(latent_sample_stride=2), {"n_prior_anchors": 128}),
+        ("a96_quad_ls4_c4096", nerf.clone(latent_sample_stride=4), {}),
     ]
 
     wanted = args.only.split(",") if args.only else None
