@@ -63,7 +63,9 @@ def _certified_model_and_cfg():
     return build_nerf(conf["nerf"]), build_render_cfg(conf["renderer"])
 
 
-def bench_render(model, cfg, iters: int = ITERS):
+def bench_render(model, cfg, iters: int = ITERS, pipelined: bool = False):
+    """pipelined=True routes through render_flat_pipelined (field split into
+    gather/MLP halves so chunk i+1's gather overlaps chunk i's MLP)."""
     from diner_tpu.data import SyntheticSphereDataset, collate, to_device_batch
     from diner_tpu.geometry import gen_rays
     from diner_tpu.renderer import render_image
@@ -92,10 +94,16 @@ def bench_render(model, cfg, iters: int = ITERS):
         rays = gen_rays(batch["target_extrinsics"], batch["target_intrinsics"],
                         W, H, SyntheticSphereDataset.znear,
                         SyntheticSphereDataset.zfar)
+        split = None
+        if pipelined:
+            split = (lambda p, aux: model.apply(variables, enc, p, aux,
+                                                method="field_gather"),
+                     lambda g, p, d: model.apply(variables, enc, g, p, d,
+                                                 method="field_mlp"))
         return render_image(
             lambda p, d, aux=None: model.apply(variables, enc, p, d, aux,
                                                method="field"),
-            rng, rays, enc, cfg, chunk=CHUNK)
+            rng, rays, enc, cfg, chunk=CHUNK, split=split)
 
     t = benchmark(render, variables, batch, jax.random.PRNGKey(0),
                   warmup=WARMUP, iters=iters)

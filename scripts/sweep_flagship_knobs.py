@@ -62,6 +62,16 @@ def main(argv=None):
         ("a128_quad_ls2_c4096",
          nerf.clone(latent_sample_stride=2), {"n_prior_anchors": 128}),
         ("a96_quad_ls4_c4096", nerf.clone(latent_sample_stride=4), {}),
+        # software-pipelined: chunk i+1's sampler+gather overlaps chunk i's
+        # MLP (decompose_flagship: stages currently run serially —
+        # 16+25+22 ms of a 69 ms chunk)
+        ("a96_quad_pipe_c4096", nerf, {"pipelined": True}),
+        ("a96_quad_pipe_c8192", nerf,
+         {"pipelined": True, "eval_chunk_rays": 8192}),
+        ("a96_quad_pipe_c2048", nerf,
+         {"pipelined": True, "eval_chunk_rays": 2048}),
+        ("a96_quad_int8_pipe_c4096", nerf.clone(latent_quant="int8"),
+         {"pipelined": True}),
     ]
 
     wanted = args.only.split(",") if args.only else None
@@ -72,8 +82,10 @@ def main(argv=None):
         over = dict(over)
         # bench_render pins eval_chunk_rays to bench.CHUNK — set it per row
         bench.CHUNK = over.pop("eval_chunk_rays", 4096)
+        pipelined = over.pop("pipelined", False)
         c = dataclasses.replace(cfg, **over)
-        dt = bench.bench_render(model, c, iters=args.iters)
+        dt = bench.bench_render(model, c, iters=args.iters,
+                                pipelined=pipelined)
         out[name] = {"secs_per_frame": round(dt, 4),
                      "rays_per_sec": round(bench.H * bench.W / dt, 1),
                      "x8_vs_50k": round(bench.H * bench.W / dt / 50e3 * 8, 2)}
