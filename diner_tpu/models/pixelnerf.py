@@ -205,6 +205,79 @@ def index_latent_strided(enc: SceneEncoding, uv, n_rays: int, stride: int):
     return out
 
 
+def index_latent_unique(enc: SceneEncoding, uv, n_rays: int, n_cells: int):
+    """Run-length-dedup quad-latent fetch: gather each ray's DISTINCT texel
+    cells once, reconstruct per-sample rows with an exact one-hot MXU
+    contraction.
+
+    When consecutive z-sorted samples share a texel cell, the
+    per-(ray,sample,view) quad gather (the dominant render-time HBM cost,
+    ~26 ms of a ~70 ms flagship chunk) re-fetches the SAME quad row. Samples
+    are chord-monotone, so each (ray, view)'s cell sequence is a set of G
+    contiguous runs; this fetch gathers K = `n_cells` rows per (ray, view) —
+    one per run — and selects each sample's row by its run id with a one-hot
+    matmul (exact: 0/1 weights, single nonzero per row, f32 MXU
+    accumulation).
+
+    EXACT bilinear semantics (bit-equal to `grid_sample_quad`) for every
+    sample whose run id < K. Overflow samples (G > K) reuse the nearest
+    PRECEDING fetched cell's row with their own in-cell weights.
+
+    Applicability caveat (scripts/probe_cell_runs.py): rays whose top-k
+    shortlist comes up empty get UNIFORM refills spanning the whole chord —
+    on the flagship bench scene most rays miss the surface and land in a new
+    cell nearly every sample (mean G = 38.6 of 40), so K << n_samples
+    substitutes wrong-cell rows on exactly those rays. Use only on workloads
+    whose sample tracks actually cluster (tight trained priors, mostly-
+    foreground frames), and validate PSNR-vs-exact first.
+
+    uv: (SB, NV, B, 2) ray-major with B = n_rays * NS, samples z-sorted
+    (chord-monotone). Requires the quad-packed latent. Returns (SB, NV, B, C).
+    """
+    if enc.latent_quad is None:
+        raise ValueError("latent_unique_cells requires quad_latent=True")
+    SB, NV, B, _ = uv.shape
+    NR = n_rays
+    NS = B // NR
+    K = n_cells
+
+    uvs = _scale_uv_for_feature_padding(enc, uv)
+    Hq, Wq, C4 = enc.latent_quad.shape[-3:]
+    idx, wx, wy = quad_cells(Hq, Wq, uvs)  # (SB, NV, B)
+    idx_s = idx.reshape(SB, NV, NR, NS)
+
+    # run id per sample: 0-based cumulative count of cell changes
+    neq = idx_s[..., 1:] != idx_s[..., :-1]
+    g = jnp.cumsum(neq.astype(jnp.int32), axis=-1)
+    g = jnp.concatenate([jnp.zeros_like(g[..., :1]), g], axis=-1)
+    gk = jnp.minimum(g, K - 1)  # overflow -> last fetched run
+
+    # run -> cell table. Within a run every cell id is equal, so max = the
+    # value; empty runs (G < K) resolve to 0 (row 0 fetched, never selected);
+    # the overflow run K-1 mixes cells and max picks one of them (its row is
+    # only used by overflow samples).
+    onehot = jax.nn.one_hot(gk, K, dtype=jnp.int32)        # (SB,NV,NR,NS,K)
+    cells = jnp.max(idx_s[..., None] * onehot, axis=-2)    # (SB,NV,NR,K)
+
+    imgs = enc.latent_quad.reshape(SB * NV, Hq * Wq, C4)
+    rows_k = jnp.take_along_axis(
+        imgs, cells.reshape(SB * NV, NR * K)[..., None], axis=1,
+        mode="clip").reshape(SB, NV, NR, K, C4)
+
+    # exact row reconstruction on the MXU: one-hot (NS, K) @ rows (K, 4C).
+    # int8 rows convert exactly to bf16 (integers <= 127); a one-hot select
+    # with f32 accumulation reproduces row values bit-exactly.
+    cdt = jnp.bfloat16 if rows_k.dtype == jnp.int8 else rows_k.dtype
+    rows = jnp.einsum("svrnk,svrkc->svrnc", onehot.astype(cdt),
+                      rows_k.astype(cdt))
+    rows = rows.reshape(SB, NV, B, C4)
+
+    out = quad_blend(rows, wx, wy)
+    if enc.latent_scale is not None:
+        out = out * enc.latent_scale
+    return out
+
+
 def index_depth(enc: SceneEncoding, uv):
     return grid_sample(enc.depths, uv, mode="nearest", padding_mode="border")
 
@@ -303,6 +376,18 @@ class PixelNeRF(nn.Module):
     # sample). Needs quad_latent and the sampler's EpiAnchors ray-major
     # ordering (n_prior_anchors > 0 with anchor_field_depth). 0/1 = exact.
     latent_sample_stride: int = 0
+    # >0: run-length-dedup quad-latent fetch (index_latent_unique) — gather
+    # only each ray's first K distinct texel cells and reconstruct per-sample
+    # rows with an exact one-hot MXU contraction. EXACT bilinear semantics
+    # for every sample whose run id < K; overflow samples reuse the nearest
+    # preceding fetched cell. Cuts the dominant render-time gather rows
+    # n_samples/K-fold — but only helps QUALITY-FREE on workloads whose
+    # sample tracks cluster into <= K cells; rays refilled uniformly (empty
+    # shortlists) span the whole chord and overflow badly (see the
+    # index_latent_unique caveat + scripts/probe_cell_runs.py). Needs
+    # quad_latent and the sampler's EpiAnchors ray-major ordering
+    # (n_prior_anchors > 0 with anchor_field_depth). 0 = exact fetch.
+    latent_unique_cells: int = 0
     # initial bias of the sigma output channel: keeps the relu density head
     # alive at init (a dead head freezes training — zero compositing weights
     # give zero gradients). 0.0 reproduces the reference's zero-bias init.
@@ -399,6 +484,9 @@ class PixelNeRF(nn.Module):
         if self.latent_anchors and epi_aux is not None:
             latent = index_latent_anchored(enc, uv, epi_aux,
                                            self.latent_anchors)
+        elif self.latent_unique_cells and epi_aux is not None:
+            latent = index_latent_unique(enc, uv, epi_aux.uv0.shape[2],
+                                         self.latent_unique_cells)
         elif self.latent_sample_stride > 1 and epi_aux is not None:
             latent = index_latent_strided(enc, uv, epi_aux.uv0.shape[2],
                                           self.latent_sample_stride)

@@ -78,6 +78,18 @@ def _flagship_paths():
          {"n_prior_anchors": 128}),
         ("anchor96_quad_ls4", dict(bfq, latent_sample_stride=4),
          {"n_prior_anchors": 96}),
+        # run-length-dedup latent fetch: EXACT bilinear semantics while each
+        # (ray, view)'s samples touch <= K distinct texel cells
+        # (index_latent_unique; probe_cell_runs.py sizes K)
+        ("anchor96_quad_uc8", dict(bfq, latent_unique_cells=8),
+         {"n_prior_anchors": 96}),
+        ("anchor96_quad_uc12", dict(bfq, latent_unique_cells=12),
+         {"n_prior_anchors": 96}),
+        ("anchor96_quad_uc16", dict(bfq, latent_unique_cells=16),
+         {"n_prior_anchors": 96}),
+        ("anchor96_quad_uc12_int8",
+         dict(bfq, latent_unique_cells=12, latent_quant="int8"),
+         {"n_prior_anchors": 96}),
     ]
 
 

@@ -72,6 +72,17 @@ def main(argv=None):
          {"pipelined": True, "eval_chunk_rays": 2048}),
         ("a96_quad_int8_pipe_c4096", nerf.clone(latent_quant="int8"),
          {"pipelined": True}),
+        # run-length-dedup latent fetch: gather only each ray's K distinct
+        # texel cells (exact while runs fit; probe_cell_runs.py sizes K)
+        ("a96_quad_uc8_c4096", nerf.clone(latent_unique_cells=8), {}),
+        ("a96_quad_uc12_c4096", nerf.clone(latent_unique_cells=12), {}),
+        ("a96_quad_uc16_c4096", nerf.clone(latent_unique_cells=16), {}),
+        ("a96_quad_uc12_c8192", nerf.clone(latent_unique_cells=12),
+         {"eval_chunk_rays": 8192}),
+        ("a96_quad_uc12_int8_c4096",
+         nerf.clone(latent_unique_cells=12, latent_quant="int8"), {}),
+        ("a96_quad_uc12_pipe_c4096", nerf.clone(latent_unique_cells=12),
+         {"pipelined": True}),
     ]
 
     wanted = args.only.split(",") if args.only else None
