@@ -51,27 +51,46 @@ def _likelihood_kernel(a_ref, vals_ref, z_ref, hs_ref, o_ref, *, tg: int,
     A = vals_ref.shape[-1]
     NC = a_ref.shape[-1]
     iota_a = jax.lax.broadcasted_iota(jnp.int32, (A, NC), 0)
+    # Per-group one-hot remap on the MXU; exact selection is required: the
+    # MXU's default f32 path multiplies in bf16, quantizing the selected
+    # depths (~0.4%), which flips the |d - z| < ddm gate near its boundary
+    # (observed on v5e). Precision.HIGHEST fixes that but pays 6 bf16
+    # passes (3x3 chunk products). The one-hot operand is exactly
+    # representable in ONE bf16 term, so a manual 3-way bf16 split of the
+    # vals operand alone reproduces HIGHEST bitwise (the cross terms it
+    # would add are exactly zero) at 3 passes: each partial product selects
+    # one bf16 chunk exactly (one nonzero term per candidate, f32
+    # accumulation), and v1+v2+v3 reconstructs f32 exactly (8+8+8 mantissa
+    # bits). Mosaic rejects per-operand precision tuples, hence the split.
+    dims = (((1,), (0,)), ((), ()))
+    rows_d, rows_s, rows_c = [], [], []
     for g in range(tg):
-        onehot = (iota_a == a_ref[g, :][None, :]).astype(jnp.float32)
-        # (3, A) @ (A, NC) on the MXU. precision=HIGHEST is required for the
-        # selection to be exact: the MXU's default f32 path multiplies in
-        # bf16, quantizing the selected depths (~0.4%), which flips the
-        # |d - z| < ddm gate near its boundary (observed on v5e). With the
-        # multi-pass HIGHEST product and an exactly-representable 0/1
-        # operand, exactly one unrounded f32 term survives per candidate.
-        dsc = jax.lax.dot_general(
-            vals_ref[g], onehot, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)  # (3, NC)
-        d, std, cos = dsc[0:1], dsc[1:2], dsc[2:3]
-        z = z_ref[g, :][None, :]
-        hs = hs_ref[g, 0]
-        valid = (cos <= 0.0) & (jnp.abs(d - z) < depth_diff_max) & (std != 0.0)
-        sstd = jnp.where(std == 0.0, 1.0, std) * _SQRT2
-        hi = _erf((z + hs - d) / sstd)
-        lo = _erf((z - hs - d) / sstd)
-        p = jnp.where(valid, 0.5 * jnp.abs(hi - lo), 0.0)
-        o_ref[g, :] = p[0]
+        onehot = (iota_a == a_ref[g, :][None, :]).astype(jnp.bfloat16)
+        v = vals_ref[g]
+        v1 = v.astype(jnp.bfloat16)
+        r1 = v - v1.astype(jnp.float32)
+        v2 = r1.astype(jnp.bfloat16)
+        v3 = (r1 - v2.astype(jnp.float32)).astype(jnp.bfloat16)
+        dsc = sum(jax.lax.dot_general(
+            vi, onehot, dims, preferred_element_type=jnp.float32)
+            for vi in (v1, v2, v3))  # (3, NC)
+        rows_d.append(dsc[0:1])
+        rows_s.append(dsc[1:2])
+        rows_c.append(dsc[2:3])
+    # Batch the elementwise tail across the tile: per-group (1, NC) rows use
+    # one sublane of eight, so running gates/erf per group leaves 7/8 of the
+    # VPU idle — measured as the kernel's dominant cost (~3 of 4.3 ms).
+    # Concatenating to (tg, NC) restores full sublane utilization.
+    d = jnp.concatenate(rows_d, axis=0)    # (tg, NC)
+    std = jnp.concatenate(rows_s, axis=0)
+    cos = jnp.concatenate(rows_c, axis=0)
+    z = z_ref[...]                          # (tg, NC)
+    hs = hs_ref[...]                        # (tg, 1)
+    valid = (cos <= 0.0) & (jnp.abs(d - z) < depth_diff_max) & (std != 0.0)
+    sstd = jnp.where(std == 0.0, 1.0, std) * _SQRT2
+    hi = _erf((z + hs - d) / sstd)
+    lo = _erf((z - hs - d) / sstd)
+    o_ref[...] = jnp.where(valid, 0.5 * jnp.abs(hi - lo), 0.0)
 
 
 @functools.partial(jax.jit,
