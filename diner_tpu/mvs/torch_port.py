@@ -334,10 +334,13 @@ def export_transmvsnet(variables):
 def validate_against_init(ported, init_variables):
     """Raise with a full diff if the ported tree's paths/shapes differ from a
     fresh init — the structural gate the CLI runs before using a ported
-    checkpoint."""
+    checkpoint. Sown runtime-stat collections ("diagnostics", e.g. the
+    window-DCN |k+offset| audit) are not parameters and are excluded."""
     import jax
 
     def flat(tree):
+        tree = {k: v for k, v in tree.items() if k != "diagnostics"} \
+            if isinstance(tree, dict) else tree
         return {jax.tree_util.keystr(k): np.asarray(v).shape
                 for k, v in jax.tree_util.tree_flatten_with_path(tree)[0]}
 
