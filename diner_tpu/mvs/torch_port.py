@@ -339,10 +339,11 @@ def validate_against_init(ported, init_variables):
     import jax
 
     def flat(tree):
-        tree = {k: v for k, v in tree.items() if k != "diagnostics"} \
-            if isinstance(tree, dict) else tree
+        # Exclude by flattened-path prefix so the filter is container-type
+        # agnostic (plain dict, FrozenDict, any Mapping).
         return {jax.tree_util.keystr(k): np.asarray(v).shape
-                for k, v in jax.tree_util.tree_flatten_with_path(tree)[0]}
+                for k, v in jax.tree_util.tree_flatten_with_path(tree)[0]
+                if not jax.tree_util.keystr(k).startswith("['diagnostics']")}
 
     a, b = flat(ported), flat(init_variables)
     problems = []

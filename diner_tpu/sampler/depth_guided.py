@@ -34,6 +34,7 @@ quantization for chords shorter than 2A px.
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -221,6 +222,50 @@ def surface_likelihoods(rays, z, enc: SceneEncoding, depth_diff_max: float,
         P0 = jnp.sum((U0 - w0[..., None] * uv0) * duv, axis=-1)
         P1 = jnp.sum((U1 - w1[..., None] * uv0) * duv, axis=-1)
 
+        # Issue the anchor gather BEFORE the (G, NC) chord arithmetic: the
+        # gather engine runs asynchronously to the VPU, so ordering the 8 ms
+        # gather first hides the ~3 ms of per-candidate chord math behind it
+        # (measured +6% frame throughput at flagship shape,
+        # results/stage_ab_r5.json vs results/decompose_likelihood_r4.json).
+        ad, astd, anrm = _gather_anchor_priors(enc, uv0, duv, A)
+        aux = EpiAnchors(uv0=uv0, duv=duv, dd=dd, depth=ad)
+        # the normal gate's cosine depends only on the anchor (the ray
+        # direction is constant along the chord): fold it per-anchor so the
+        # remap carries 3 channels [depth, std, cos] instead of 5
+        acos = jnp.sum(dirs_cam[:, :, :, None, :] * anrm, axis=-1)
+        from diner_tpu.utils.jitinit import use_tpu_kernels
+
+        if use_tpu_kernels() and os.environ.get(
+                "DINER_TPU_LIKELIHOOD", "v1") == "chord":
+            # OPT-IN fused chord+likelihood kernel (r5 experiment): anchor
+            # ids and cam depths computed in-register from the per-(view,
+            # ray) chord scalars — the (G, NC) id / z_cam tensors never
+            # touch HBM. Measured SLOWER end-to-end than the v1 kernel on
+            # v5e (results/stage_ab_r5.json: stage 13.1 ms vs 9.8 ms,
+            # frame 58.7k vs 62.0k rays/s): the (9*lo_w, A/lo_w) operand's
+            # 12-lane minor dim pads to 128 lanes in VMEM, inflating the
+            # per-block DMA ~10x. Kept for the record; the LOAD-BEARING r5
+            # change is hoisting _gather_anchor_priors ABOVE the chord
+            # arithmetic (below), which lets the async gather overlap the
+            # (G, NC) VPU work and took the fast preset from 58.2k to
+            # 62.0k rays/s on its own.
+            from diner_tpu.sampler.pallas_likelihood import (
+                likelihood_from_chord)
+
+            half_step = ((rays[..., 7] - rays[..., 6]) / (2 * NC))  # (SB,NR)
+            scal = jnp.stack([
+                w0, w1, P0, P1,
+                1.0 / jnp.where(dd == 0, 1.0, dd),
+                (dd > 1e-12).astype(rays.dtype),
+                chord_ok.astype(rays.dtype),
+                jnp.broadcast_to(half_step[:, None], (SB, NV, NR)),
+            ], axis=-1)                                   # (SB, NV, NR, 8)
+            vals = jnp.stack([ad, astd, acos], axis=3)    # (SB,NV,NR,3,A)
+            p = likelihood_from_chord(z, scal.astype(jnp.float32),
+                                      vals.astype(jnp.float32), A,
+                                      depth_diff_max)
+            return _finish_likelihood(p, aux, return_aux)
+
         z_nv = z[:, None]                              # (SB, 1, NR, NC)
         z_cam = w0[..., None] + z_nv * w1[..., None]   # (SB, NV, NR, NC)
         front = chord_ok[..., None] & (z_cam > 1e-9)   # (SB, NV, NR, NC)
@@ -230,14 +275,6 @@ def surface_likelihoods(rays, z, enc: SceneEncoding, depth_diff_max: float,
         s_par = jnp.where(dd[..., None] > 1e-12, t, 0.5)
         a = jnp.clip((jnp.clip(s_par, 0.0, 1.0) * A).astype(jnp.int32),
                      0, A - 1)
-
-        ad, astd, anrm = _gather_anchor_priors(enc, uv0, duv, A)
-        aux = EpiAnchors(uv0=uv0, duv=duv, dd=dd, depth=ad)
-        # the normal gate's cosine depends only on the anchor (the ray
-        # direction is constant along the chord): fold it per-anchor so the
-        # remap carries 3 channels [depth, std, cos] instead of 5
-        acos = jnp.sum(dirs_cam[:, :, :, None, :] * anrm, axis=-1)
-        from diner_tpu.utils.jitinit import use_tpu_kernels
 
         if use_tpu_kernels():
             # fused Pallas kernel: one-hot MXU remap (exact f32) + gated

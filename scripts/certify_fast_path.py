@@ -61,12 +61,45 @@ def _flagship_paths():
         ("anchor128_quad", dict(bfq), {"n_prior_anchors": 128}),
         ("anchor96_quad_ns32", dict(bfq),
          {"n_prior_anchors": 96, "n_samples": 32}),
+        # n_samples sweep on BOTH the exact and anchor paths (VERDICT r4
+        # weak #5: anchor96_quad_ns32 measured +0.26 dB ABOVE exact-40 —
+        # determine whether fewer samples genuinely beat the reference's 40
+        # (nerf_renderer.py:23-37 default) on trained fields, or the
+        # synthetic certify scenes rank paths poorly)
+        ("exact_f32_ns24", {"compute_dtype": None, "latent_anchors": 0},
+         {"n_prior_anchors": 0, "n_samples": 24}),
+        ("exact_f32_ns32", {"compute_dtype": None, "latent_anchors": 0},
+         {"n_prior_anchors": 0, "n_samples": 32}),
+        ("exact_f32_ns48", {"compute_dtype": None, "latent_anchors": 0},
+         {"n_prior_anchors": 0, "n_samples": 48}),
+        ("exact_f32_ns64", {"compute_dtype": None, "latent_anchors": 0},
+         {"n_prior_anchors": 0, "n_samples": 64}),
+        ("anchor96_quad_ns24", dict(bfq),
+         {"n_prior_anchors": 96, "n_samples": 24}),
+        ("anchor96_quad_ns48", dict(bfq),
+         {"n_prior_anchors": 96, "n_samples": 48}),
+        ("anchor96_quad_ns64", dict(bfq),
+         {"n_prior_anchors": 96, "n_samples": 64}),
         ("anchor96_quad_nc512", dict(bfq),
          {"n_prior_anchors": 96, "n_depth_candidates": 512}),
         ("anchor96_quad_nc512_ns32", dict(bfq),
          {"n_prior_anchors": 96, "n_depth_candidates": 512, "n_samples": 32}),
         ("anchor96_quad_int8", dict(bfq, latent_quant="int8"),
          {"n_prior_anchors": 96}),
+        # error-source isolation (r5): noafd = exact per-sample field depth
+        # (anchors only in the sampler); higher A = finer chord
+        # discretization
+        ("anchor96_quad_noafd", dict(bfq),
+         {"n_prior_anchors": 96, "anchor_field_depth": False}),
+        ("anchor128_quad_noafd", dict(bfq),
+         {"n_prior_anchors": 128, "anchor_field_depth": False}),
+        ("anchor160_quad", dict(bfq), {"n_prior_anchors": 160}),
+        ("anchor192_quad", dict(bfq), {"n_prior_anchors": 192}),
+        ("anchor256_quad", dict(bfq), {"n_prior_anchors": 256}),
+        ("anchor128_quad_ns32", dict(bfq),
+         {"n_prior_anchors": 128, "n_samples": 32}),
+        ("anchor160_quad_ns32", dict(bfq),
+         {"n_prior_anchors": 160, "n_samples": 32}),
         ("exact_quad_int8", dict(bfq, latent_quant="int8"),
          {"n_prior_anchors": 0}),
         ("fast8", dict(bfq, latent_anchors=8), {"n_prior_anchors": 96}),
@@ -241,12 +274,15 @@ def main(argv=None):
         "paths": results,
     }
     if args.flagship_sampling:
+        pad = (conf.get("nerf", {}).get("kwargs", {})
+               .get("encoder_conf", {}).get("kwargs", {})
+               .get("image_padding", "?"))
         out["mode"] = ("flagship-sampling: renderer overridden to 1000 "
                        "candidates / 40 samples / 15 gaussian; PSNR/SSIM "
                        "deltas are the deliverable. secs_per_frame / "
-                       "rays_per_sec here are the trained PLATEAU "
-                       "architecture (padding 16) — flagship-shape "
-                       "throughput lives in sweep_flagship_knobs.py output")
+                       "rays_per_sec are measured on the trained run's own "
+                       f"architecture (image_padding {pad}; flagship "
+                       "preset = 64).")
     line = json.dumps(out)
     print(line)
     if args.out:

@@ -67,15 +67,16 @@ def main(argv=None):
     for name in wanted:
         # fusion computation bodies are named `%fused_computation.N`; the
         # call site is `%fusion.N = ... fusion(...), calls=%fused_...`
-        pat = re.compile(rf"%{re.escape(name)} = \S+ fusion\((.{{0,400}})",
-                         re.S)
+        pat = re.compile(rf"%{re.escape(name)} = [^\n]*", re.S)
         m = pat.search(txt)
         if not m:
             print(f"\n== {name}: NOT FOUND")
             continue
         print(f"\n== {name}:")
         print(m.group(0)[:700])
-        cm = re.search(rf"calls=%?([\w.\-]+)", m.group(0))
+        # search the FULL instruction line (not a char-capped window) so
+        # long operand lists can't push `calls=` out of reach
+        cm = re.search(r"calls=%?([\w.\-]+)", m.group(0))
         if cm:
             body = re.search(
                 rf"^(%?{re.escape(cm.group(1))}[^\n]*\n(?:.+\n)*?}})",

@@ -395,3 +395,163 @@ def test_anchor_field_depth_matches_index_depth():
     ref = np.asarray(index_depth(enc, uv)[..., 0])
     match = np.isclose(got, ref, rtol=1e-6)
     assert match.mean() >= 0.95, f"only {match.mean():.3f} matched"
+
+
+def test_fused_chord_kernel_matches_fallback():
+    """Pallas fused chord+likelihood v2 (interpret mode) vs the portable
+    XLA anchor path: same enc/rays/z must give the same (SB, NR, NC)
+    likelihoods up to the erf polynomial and boundary anchor-id flips from
+    the kernel's reassociated chord arithmetic (t = (P0+z*P1)*inv_dd/zc
+    instead of /(zc*dd)) — candidates whose chord parameter sits within
+    1e-5 of an anchor boundary are excluded from the comparison."""
+    import os
+
+    from diner_tpu.core.types import RenderConfig
+    from diner_tpu.data import SyntheticSphereDataset, collate
+    from diner_tpu.geometry import gen_rays
+    from diner_tpu.sampler.depth_guided import (sample_stratified,
+                                                surface_likelihoods)
+    from diner_tpu.sampler.pallas_likelihood import likelihood_from_chord
+
+    ds = SyntheticSphereDataset(n_scenes=1, n_views=3, H=48, W=48)
+    batch = collate([ds[0]])
+    batch = {k: jnp.asarray(v) for k, v in batch.items()
+             if not isinstance(v, list)}
+    from diner_tpu.models import PixelNeRF
+
+    nerf = PixelNeRF(encoder_layers=2, d_hidden=64, n_blocks=3,
+                     combine_layer=2)
+    variables = nerf.init(jax.random.PRNGKey(0), batch["src_rgbs"],
+                          batch["src_depths"], batch["src_depth_stds"],
+                          batch["src_extrinsics"], batch["src_intrinsics"],
+                          jnp.zeros((1, 1, 3)), jnp.zeros((1, 1, 3)))
+    enc = nerf.apply(variables, batch["src_rgbs"], batch["src_depths"],
+                     batch["src_depth_stds"], batch["src_extrinsics"],
+                     batch["src_intrinsics"], method="encode")
+    rays = gen_rays(batch["target_extrinsics"], batch["target_intrinsics"],
+                    48, 48, ds.znear, ds.zfar).reshape(1, 48 * 48, 8)
+    rays = rays[:, :256]
+    NC, A, ddm = 120, 32, 0.5
+    z = sample_stratified(jax.random.PRNGKey(1), rays, NC)
+
+    # portable fallback (use_tpu_kernels() is False on CPU)
+    p_ref, opq_ref = surface_likelihoods(rays, z, enc, ddm,
+                                         n_prior_anchors=A)[:2]
+
+    # fused kernel, interpret mode, fed from the fallback's own chord state
+    from diner_tpu.sampler import depth_guided as dg
+
+    SB, NR, _ = z.shape
+    NV = enc.poses.shape[1]
+    dirs = jnp.broadcast_to(rays[:, None, :, 3:6], (SB, NV, NR, 3))
+    dirs_cam = jnp.einsum("svij,svrj->svri", enc.poses[..., :3, :3], dirs)
+    o_nv = jnp.broadcast_to(rays[:, None, :, :3], (SB, NV, NR, 3))
+    from diner_tpu.geometry import transform_points
+
+    o_cam = transform_points(enc.poses, o_nv)
+    wh = jnp.asarray(enc.image_shape, rays.dtype)
+    f2 = (enc.focal * 2.0 / wh)[:, :, None]
+    cterm = (enc.c * 2.0 / wh - 1.0)[:, :, None]
+    U0 = o_cam[..., :2] * f2 + o_cam[..., 2:3] * cterm
+    U1 = dirs_cam[..., :2] * f2 + dirs_cam[..., 2:3] * cterm
+    w0, w1 = o_cam[..., 2], dirs_cam[..., 2]
+    z0, zL = z[:, None, :, 0], z[:, None, :, -1]
+    den0, denL = w0 + z0 * w1, w0 + zL * w1
+    chord_ok = (den0 > 1e-9) & (denL > 1e-9)
+    uv0 = jnp.where(chord_ok[..., None],
+                    (U0 + z0[..., None] * U1)
+                    / jnp.where(den0 == 0, 1.0, den0)[..., None], 0.0)
+    uvL = jnp.where(chord_ok[..., None],
+                    (U0 + zL[..., None] * U1)
+                    / jnp.where(denL == 0, 1.0, denL)[..., None], 0.0)
+    duv = uvL - uv0
+    dd = jnp.sum(duv * duv, axis=-1)
+    P0 = jnp.sum((U0 - w0[..., None] * uv0) * duv, axis=-1)
+    P1 = jnp.sum((U1 - w1[..., None] * uv0) * duv, axis=-1)
+    ad, astd, anrm = dg._gather_anchor_priors(enc, uv0, duv, A)
+    acos = jnp.sum(dirs_cam[:, :, :, None, :] * anrm, axis=-1)
+    half_step = ((rays[..., 7] - rays[..., 6]) / (2 * NC))
+    scal = jnp.stack([
+        w0, w1, P0, P1, 1.0 / jnp.where(dd == 0, 1.0, dd),
+        (dd > 1e-12).astype(rays.dtype), chord_ok.astype(rays.dtype),
+        jnp.broadcast_to(half_step[:, None], (SB, NV, NR))], axis=-1)
+    vals = jnp.stack([ad, astd, acos], axis=3)
+    p_k = likelihood_from_chord(z, scal.astype(jnp.float32),
+                                vals.astype(jnp.float32), A, ddm,
+                                tg=8, interpret=True)
+
+    # exclude anchor-boundary candidates (reassociation can flip the id)
+    z_nv = z[:, None]
+    z_cam = w0[..., None] + z_nv * w1[..., None]
+    zs = jnp.where(jnp.abs(z_cam) > 1e-9, z_cam, 1.0)
+    t = (P0[..., None] + z_nv * P1[..., None]) \
+        / (zs * jnp.where(dd == 0, 1.0, dd)[..., None])
+    s_par = jnp.where(dd[..., None] > 1e-12, t, 0.5)
+    frac = jnp.clip(s_par, 0.0, 1.0) * A
+    safe = jnp.abs(frac - jnp.round(frac)) > 1e-5
+
+    p_v = jnp.max(jnp.where(safe, p_k, 0.0), axis=1)
+    p_r = jnp.max(jnp.where(safe,
+                            # rebuild the per-view fallback p to apply the
+                            # same mask before the view max
+                            _per_view_anchor_p(enc, rays, z, A, ddm), 0.0),
+                  axis=1)
+    np.testing.assert_allclose(np.asarray(p_v), np.asarray(p_r),
+                               atol=2e-5, rtol=1e-3)
+
+
+def _per_view_anchor_p(enc, rays, z, A, ddm):
+    """Per-view (pre-max) likelihoods via the portable fallback math."""
+    import math as _math
+
+    from diner_tpu.geometry import transform_points
+    from diner_tpu.sampler import depth_guided as dg
+    from scipy.special import erf as scipy_erf2
+
+    SB, NR, NC = z.shape
+    NV = enc.poses.shape[1]
+    dirs = jnp.broadcast_to(rays[:, None, :, 3:6], (SB, NV, NR, 3))
+    dirs_cam = jnp.einsum("svij,svrj->svri", enc.poses[..., :3, :3], dirs)
+    o_nv = jnp.broadcast_to(rays[:, None, :, :3], (SB, NV, NR, 3))
+    o_cam = transform_points(enc.poses, o_nv)
+    wh = jnp.asarray(enc.image_shape, rays.dtype)
+    f2 = (enc.focal * 2.0 / wh)[:, :, None]
+    cterm = (enc.c * 2.0 / wh - 1.0)[:, :, None]
+    U0 = o_cam[..., :2] * f2 + o_cam[..., 2:3] * cterm
+    U1 = dirs_cam[..., :2] * f2 + dirs_cam[..., 2:3] * cterm
+    w0, w1 = o_cam[..., 2], dirs_cam[..., 2]
+    z0, zL = z[:, None, :, 0], z[:, None, :, -1]
+    den0, denL = w0 + z0 * w1, w0 + zL * w1
+    chord_ok = (den0 > 1e-9) & (denL > 1e-9)
+    uv0 = jnp.where(chord_ok[..., None],
+                    (U0 + z0[..., None] * U1)
+                    / jnp.where(den0 == 0, 1.0, den0)[..., None], 0.0)
+    uvL = jnp.where(chord_ok[..., None],
+                    (U0 + zL[..., None] * U1)
+                    / jnp.where(denL == 0, 1.0, denL)[..., None], 0.0)
+    duv = uvL - uv0
+    dd = jnp.sum(duv * duv, axis=-1)
+    P0 = jnp.sum((U0 - w0[..., None] * uv0) * duv, axis=-1)
+    P1 = jnp.sum((U1 - w1[..., None] * uv0) * duv, axis=-1)
+    z_nv = z[:, None]
+    z_cam = w0[..., None] + z_nv * w1[..., None]
+    front = chord_ok[..., None] & (z_cam > 1e-9)
+    zs = jnp.where(jnp.abs(z_cam) > 1e-9, z_cam, 1.0)
+    t = (P0[..., None] + z_nv * P1[..., None]) \
+        / (zs * jnp.where(dd == 0, 1.0, dd)[..., None])
+    s_par = jnp.where(dd[..., None] > 1e-12, t, 0.5)
+    a = jnp.clip((jnp.clip(s_par, 0.0, 1.0) * A).astype(jnp.int32), 0, A - 1)
+    ad, astd, anrm = dg._gather_anchor_priors(enc, uv0, duv, A)
+    acos = jnp.sum(dirs_cam[:, :, :, None, :] * anrm, axis=-1)
+    vals = jnp.stack([ad, astd, acos], axis=-1)
+    out = dg._remap_monotone(vals, a)
+    d, s_, c = out[..., 0], out[..., 1], out[..., 2]
+    s_ = jnp.where(front, s_, 0.0)
+    step = ((rays[..., 7] - rays[..., 6]) / NC)[:, None, :, None]
+    valid = (c <= 0) & (jnp.abs(d - z_cam) < ddm) & (s_ != 0)
+    sstd = jnp.where(s_ == 0, 1.0, s_) * _math.sqrt(2.0)
+    hi = np.asarray(scipy_erf2((np.asarray(z_cam) + np.asarray(step) / 2
+                                - np.asarray(d)) / np.asarray(sstd)))
+    lo = np.asarray(scipy_erf2((np.asarray(z_cam) - np.asarray(step) / 2
+                                - np.asarray(d)) / np.asarray(sstd)))
+    return jnp.where(valid, 0.5 * jnp.abs(hi - lo), 0.0)
