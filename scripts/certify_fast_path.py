@@ -104,6 +104,8 @@ def _flagship_paths():
          {"n_prior_anchors": 160, "n_samples": 32}),
         ("anchor192_quad_ns32", dict(bfq),
          {"n_prior_anchors": 192, "n_samples": 32}),
+        ("anchor192_quad_ns32_int8", dict(bfq, latent_quant="int8"),
+         {"n_prior_anchors": 192, "n_samples": 32}),
         ("exact_quad_int8", dict(bfq, latent_quant="int8"),
          {"n_prior_anchors": 0}),
         ("fast8", dict(bfq, latent_anchors=8), {"n_prior_anchors": 96}),
