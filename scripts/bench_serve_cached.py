@@ -70,11 +70,13 @@ def main(argv=None):
     nerf, cfg = bench._certified_model_and_cfg()
 
     rows = [
-        ("fast_a96_quad_bf16", nerf, cfg),
-        ("a128_quad_bf16", nerf,
+        # row 1 IS the shipped preset, whatever the YAML currently says
+        # (r5: A=192 + quad + int8 + bf16 + ns32)
+        ("shipped_preset", nerf, cfg),
+        ("shipped_anchors128", nerf,
          dataclasses.replace(cfg, n_prior_anchors=128)),
-        ("exact_bf16_quad", nerf,
-         dataclasses.replace(cfg, n_prior_anchors=0)),
+        ("exact_bf16_quad_ns40", nerf.clone(latent_quant=None),
+         dataclasses.replace(cfg, n_prior_anchors=0, n_samples=40)),
     ]
     out = {}
     for name, model, c in rows:

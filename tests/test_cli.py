@@ -146,10 +146,14 @@ def test_fast_preset_config_builds_certified_path():
     nerf = build_nerf(conf["nerf"])
     assert nerf.compute_dtype == "bfloat16"
     assert nerf.quad_latent is True
+    assert nerf.latent_quant == "int8"
     assert nerf.latent_anchors == 0  # NOT certified; must stay off
+    assert nerf.image_padding == 64  # the flagship architecture
     cfg = build_render_cfg(conf["renderer"])
-    assert cfg.n_prior_anchors == 96
-    assert cfg.n_samples == 40 and cfg.n_depth_candidates == 1000
+    # r5 certified preset (results/certify_final_seed{777,1313}_r5.json):
+    # A=192 anchors, 32 samples from the reference's 1000 candidates
+    assert cfg.n_prior_anchors == 192
+    assert cfg.n_samples == 32 and cfg.n_depth_candidates == 1000
 
 
 def test_render_eval_fast_preset_from_config(synth_run, tmp_path):
