@@ -90,7 +90,8 @@ def build_render_cfg(conf: Dict[str, Any]) -> RenderConfig:
         approx_topk=bool(kw.get("approx_topk", True)),
         prior_stride=int(kw.get("prior_stride", 1)),
         n_prior_anchors=int(kw.get("n_prior_anchors", 0)),
-        anchor_field_depth=bool(kw.get("anchor_field_depth", True)))
+        anchor_field_depth=bool(kw.get("anchor_field_depth", True)),
+        paired_prior_gather=bool(kw.get("paired_prior_gather", False)))
 
 
 def build_diner(conf: Dict[str, Any], znear: float, zfar: float) -> DINER:

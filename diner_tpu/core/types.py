@@ -96,3 +96,15 @@ class RenderConfig:
     # reference's own +-0.5 px nearest-pixel quantization). Only active when
     # n_prior_anchors > 0; False restores exact per-sample gathers.
     anchor_field_depth: bool = True
+    # Paired-anchor prior fetch: consecutive anchor PAIRS share ONE gather
+    # row from a 2x2-packed prior table (the v5e gather engine is
+    # row-rate-bound, so this halves the dominant anchor-gather cost).
+    # Each anchor then selects its own nearest pixel from the quad around
+    # the pair midpoint — BIT-IDENTICAL to the per-anchor gather whenever
+    # both anchors' nearest pixels fall inside that quad, which holds when
+    # the anchor spacing is <= 1 px per image axis (chord shorter than
+    # n_prior_anchors pixels along that axis). Longer chords clamp the
+    # selection into the quad (positional error <= spacing/2 - 0.5 px,
+    # the same error class as the anchor discretization itself). Only
+    # active when n_prior_anchors > 0 and it is even.
+    paired_prior_gather: bool = False

@@ -158,8 +158,115 @@ def _gather_anchor_priors(enc: SceneEncoding, uv0, duv, n_anchors: int):
             anrm.reshape(SB, NV, NR, A, 3))
 
 
+def _gather_anchor_priors_paired(enc: SceneEncoding, uv0, duv,
+                                 n_anchors: int):
+    """Paired-anchor prior fetch: one packed 2x2-quad row per TWO
+    consecutive anchors (RenderConfig.paired_prior_gather).
+
+    The v5e gather engine is row-rate-bound (PERFORMANCE.md "Gather
+    floor"), so fetching A/2 rows of the quad-packed (H-1, W-1, 20) prior
+    table instead of A rows of the (H, W, 5) one halves the dominant
+    anchor-gather cost. Each anchor of a pair then SELECTS its own nearest
+    pixel from the quad around the pair midpoint with pure arithmetic —
+    bit-identical to gather_priors whenever both nearest pixels fall
+    inside the midpoint quad (anchor spacing <= 1 px per axis); longer
+    chords clamp into the quad (error <= spacing/2 - 0.5 px, the anchor
+    discretization's own error class). The per-anchor mask/scale math
+    (border distance, exponential std window, inside-image normal zeroing)
+    is identical to gather_priors — it depends only on each anchor's own
+    integer pixel, which never touches memory.
+
+    Returns the same (depth, std, normal) layout as _gather_anchor_priors.
+    """
+    SB, NV, NR, _ = uv0.shape
+    A = n_anchors
+    assert A % 2 == 0, "paired_prior_gather needs an even anchor count"
+    H, W = enc.depths.shape[2:4]
+    pad, double_width = 100, 12.0
+
+    # pair midpoints and per-anchor positions along the chord
+    frac_mid = ((2.0 * jnp.arange(A // 2, dtype=uv0.dtype) + 1.0) / A)[:, None]
+    frac_all = ((jnp.arange(A, dtype=uv0.dtype) + 0.5) / A)[:, None]
+    uv_mid = uv0[..., None, :] + frac_mid * duv[..., None, :]  # (...,A/2,2)
+    uv_all = uv0[..., None, :] + frac_all * duv[..., None, :]  # (...,A,2)
+
+    # 2x2-packed BF16 table: T[y, x] = packed6[(y,x), (y,x+1), (y+1,x),
+    # (y+1,x+1)], 6 bf16 channels per pixel = 48-byte rows. The v5e gather
+    # engine fetches bf16 rows at ~295M rows/s INDEPENDENT of width up to
+    # 48B, vs 204M rows/s for 20B f32 rows and 32M rows/s for 80B f32 rows
+    # (results/gather_width_r5.json) — so the bf16 quad table is ~3x the
+    # f32 row throughput on HALF the rows. Depth keeps (near-)f32 precision
+    # via a 2-way bf16 hi/lo split (|err| <= ~2^-17 relative — two orders
+    # below the bf16 compute path already certified); std/normal round to
+    # bf16, the same precision class as compute_dtype="bfloat16".
+    d32 = enc.depths.astype(jnp.float32)
+    d_hi = d32.astype(jnp.bfloat16)
+    d_lo = (d32 - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    packed6 = jnp.concatenate(
+        [d_hi, d_lo, enc.depth_stds.astype(jnp.bfloat16),
+         enc.normals.astype(jnp.bfloat16)], -1)        # (SB,NV,H,W,6) bf16
+    pq = jnp.concatenate([packed6[:, :, :-1, :-1], packed6[:, :, :-1, 1:],
+                          packed6[:, :, 1:, :-1], packed6[:, :, 1:, 1:]], -1)
+    flat = pq.reshape(SB * NV * (H - 1) * (W - 1), 24)
+
+    def _pix(uv):
+        ix = (uv[..., 0] + 1.0) * 0.5 * W - 0.5
+        iy = (uv[..., 1] + 1.0) * 0.5 * H - 0.5
+        return ix, iy
+
+    ix_m, iy_m = _pix(uv_mid.reshape(SB, NV, NR * (A // 2), 2))
+    x0 = jnp.clip(jnp.floor(ix_m).astype(jnp.int32), 0, W - 2)
+    y0 = jnp.clip(jnp.floor(iy_m).astype(jnp.int32), 0, H - 2)
+    idx = (y0 * (W - 1) + x0).reshape(SB * NV, NR * (A // 2))
+    gidx = (idx + (jnp.arange(SB * NV, dtype=jnp.int32)
+                   * ((H - 1) * (W - 1)))[:, None]).reshape(-1)
+    rows = jnp.take(flat, gidx, axis=0, mode="clip") \
+              .reshape(SB, NV, NR, A // 2, 4, 6)
+
+    # per-anchor nearest pixel (the SAME formula as gather_priors), kept in
+    # pair-major shape (..., A/2, 2) so the quad-slot select BROADCASTS the
+    # gathered rows across the pair instead of materializing a repeated
+    # (..., A, 4, 5) tensor (a jnp.repeat here measured ~250 MB/chunk of
+    # pure HBM traffic and erased the pairing's gather savings)
+    P = A // 2
+    ix, iy = _pix(uv_all.reshape(SB, NV, NR * A, 2))
+    jx = jnp.round(ix).astype(jnp.int32)
+    jy = jnp.round(iy).astype(jnp.int32)
+    jxc = jnp.clip(jx, 0, W - 1).reshape(SB, NV, NR, P, 2)
+    jyc = jnp.clip(jy, 0, H - 1).reshape(SB, NV, NR, P, 2)
+    x0p = x0.reshape(SB, NV, NR, P)[..., None]         # (SB,NV,NR,P,1)
+    y0p = y0.reshape(SB, NV, NR, P)[..., None]
+    sx = jnp.clip(jxc - x0p, 0, 1)
+    sy = jnp.clip(jyc - y0p, 0, 1)
+    q = (sy * 2 + sx)[..., None]                       # (SB,NV,NR,P,2,1)
+    # 4-way VPU select (NOT take_along_axis — that would lower to another
+    # row-per-anchor gather and give back everything the pairing saved);
+    # rows[..., k, :] (..., P, 6) broadcasts against q (..., P, 2, 1).
+    # Select in bf16, reconstruct f32 afterwards (one nonzero term each).
+    vals = sum(jnp.where(q == k, rows[..., k, None, :],
+                         jnp.bfloat16(0.0))
+               for k in range(4)).reshape(SB, NV, NR, A, 6)
+
+    jx = jx.reshape(SB, NV, NR, A)
+    jy = jy.reshape(SB, NV, NR, A)
+    inside = (jx >= 0) & (jx < W) & (jy >= 0) & (jy < H)
+    dx = jnp.maximum(jnp.maximum(-jx - 1, jx - W), 0)
+    dy = jnp.maximum(jnp.maximum(-jy - 1, jy - H), 0)
+    d = jnp.maximum(dx, dy).astype(vals.dtype)
+    within_pad = (jx >= -pad) & (jx < W + pad) & (jy >= -pad) & (jy < H + pad)
+    std_scale = jnp.exp2(d / double_width) * within_pad.astype(vals.dtype)
+
+    depth = (vals[..., 0].astype(jnp.float32)
+             + vals[..., 1].astype(jnp.float32))    # bf16 hi/lo -> ~f32
+    std = vals[..., 2].astype(jnp.float32) * std_scale
+    normal = (vals[..., 3:6].astype(jnp.float32)
+              * inside[..., None].astype(jnp.float32))
+    return depth, std, normal
+
+
 def surface_likelihoods(rays, z, enc: SceneEncoding, depth_diff_max: float,
                         prior_stride: int = 1, n_prior_anchors: int = 0,
+                        paired_prior_gather: bool = False,
                         return_aux: bool = False):
     """Per-candidate surface likelihoods from the MVS depth priors.
 
@@ -227,7 +334,10 @@ def surface_likelihoods(rays, z, enc: SceneEncoding, depth_diff_max: float,
         # gather first hides the ~3 ms of per-candidate chord math behind it
         # (measured +6% frame throughput at flagship shape,
         # results/stage_ab_r5.json vs results/decompose_likelihood_r4.json).
-        ad, astd, anrm = _gather_anchor_priors(enc, uv0, duv, A)
+        if paired_prior_gather and A % 2 == 0:
+            ad, astd, anrm = _gather_anchor_priors_paired(enc, uv0, duv, A)
+        else:
+            ad, astd, anrm = _gather_anchor_priors(enc, uv0, duv, A)
         aux = EpiAnchors(uv0=uv0, duv=duv, dd=dd, depth=ad)
         # the normal gate's cosine depends only on the anchor (the ray
         # direction is constant along the chord): fold it per-anchor so the
@@ -378,10 +488,12 @@ def sample_depthguided(rng, rays, enc: SceneEncoding, cfg: RenderConfig,
     k_strat, k_gauss, k_fill = jax.random.split(rng, 3)
 
     z_cand = sample_stratified(k_strat, rays, cfg.n_depth_candidates)
-    p, opaque, aux = surface_likelihoods(rays, z_cand, enc, cfg.depth_diff_max,
-                                         prior_stride=cfg.prior_stride,
-                                         n_prior_anchors=cfg.n_prior_anchors,
-                                         return_aux=True)
+    p, opaque, aux = surface_likelihoods(
+        rays, z_cand, enc, cfg.depth_diff_max,
+        prior_stride=cfg.prior_stride,
+        n_prior_anchors=cfg.n_prior_anchors,
+        paired_prior_gather=cfg.paired_prior_gather,
+        return_aux=True)
 
     if cfg.approx_topk:
         top_p, top_idx = jax.lax.approx_max_k(p, cfg.n_samples)

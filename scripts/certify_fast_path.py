@@ -106,6 +106,15 @@ def _flagship_paths():
          {"n_prior_anchors": 192, "n_samples": 32}),
         ("anchor192_quad_ns32_int8", dict(bfq, latent_quant="int8"),
          {"n_prior_anchors": 192, "n_samples": 32}),
+        ("anchor192_quad_ns32_int8_paired", dict(bfq, latent_quant="int8"),
+         {"n_prior_anchors": 192, "n_samples": 32,
+          "paired_prior_gather": True}),
+        ("anchor256_quad_ns32_int8_paired", dict(bfq, latent_quant="int8"),
+         {"n_prior_anchors": 256, "n_samples": 32,
+          "paired_prior_gather": True}),
+        ("anchor256_quad_ns24_int8_paired", dict(bfq, latent_quant="int8"),
+         {"n_prior_anchors": 256, "n_samples": 24,
+          "paired_prior_gather": True}),
         ("exact_quad_int8", dict(bfq, latent_quant="int8"),
          {"n_prior_anchors": 0}),
         ("fast8", dict(bfq, latent_anchors=8), {"n_prior_anchors": 96}),

@@ -150,9 +150,11 @@ def test_fast_preset_config_builds_certified_path():
     assert nerf.latent_anchors == 0  # NOT certified; must stay off
     assert nerf.image_padding == 64  # the flagship architecture
     cfg = build_render_cfg(conf["renderer"])
-    # r5 certified preset (results/certify_final_seed{777,1313}_r5.json):
-    # A=192 anchors, 32 samples from the reference's 1000 candidates
-    assert cfg.n_prior_anchors == 192
+    # r5 certified preset (results/certify_pairedbf16_seed{777,1313}_r5
+    # .json): A=256 paired-fetched anchors, 32 samples from the
+    # reference's 1000 candidates
+    assert cfg.n_prior_anchors == 256
+    assert cfg.paired_prior_gather is True
     assert cfg.n_samples == 32 and cfg.n_depth_candidates == 1000
 
 

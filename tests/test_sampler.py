@@ -555,3 +555,87 @@ def _per_view_anchor_p(enc, rays, z, A, ddm):
     lo = np.asarray(scipy_erf2((np.asarray(z_cam) - np.asarray(step) / 2
                                 - np.asarray(d)) / np.asarray(sstd)))
     return jnp.where(valid, 0.5 * jnp.abs(hi - lo), 0.0)
+
+
+def test_paired_prior_gather_matches_plain():
+    """RenderConfig.paired_prior_gather: the 2x2-packed pair fetch must be
+    BIT-IDENTICAL to the per-anchor gather when anchor spacing <= 1 px per
+    axis (chord shorter than A px), and within the anchor-discretization
+    error class otherwise."""
+    from diner_tpu.models import PixelNeRF
+    from diner_tpu.data import SyntheticSphereDataset, collate
+    from diner_tpu.geometry import gen_rays, transform_points
+    from diner_tpu.sampler import depth_guided as dg
+
+    ds = SyntheticSphereDataset(n_scenes=1, n_views=3, H=64, W=64)
+    batch = collate([ds[0]])
+    batch = {k: jnp.asarray(v) for k, v in batch.items()
+             if not isinstance(v, list)}
+    nerf = PixelNeRF(encoder_layers=2, d_hidden=64, n_blocks=3,
+                     combine_layer=2)
+    variables = nerf.init(jax.random.PRNGKey(0), batch["src_rgbs"],
+                          batch["src_depths"], batch["src_depth_stds"],
+                          batch["src_extrinsics"], batch["src_intrinsics"],
+                          jnp.zeros((1, 1, 3)), jnp.zeros((1, 1, 3)))
+    enc = nerf.apply(variables, batch["src_rgbs"], batch["src_depths"],
+                     batch["src_depth_stds"], batch["src_extrinsics"],
+                     batch["src_intrinsics"], method="encode")
+    rays = gen_rays(batch["target_extrinsics"], batch["target_intrinsics"],
+                    64, 64, ds.znear, ds.zfar).reshape(1, -1, 8)[:, 800:1056]
+    SB, NR, _ = rays.shape
+    NV = enc.poses.shape[1]
+    z = dg.sample_stratified(jax.random.PRNGKey(1), rays, 64)
+
+    # chord state (as surface_likelihoods computes it)
+    dirs = jnp.broadcast_to(rays[:, None, :, 3:6], (SB, NV, NR, 3))
+    dirs_cam = jnp.einsum("svij,svrj->svri", enc.poses[..., :3, :3], dirs)
+    o_nv = jnp.broadcast_to(rays[:, None, :, :3], (SB, NV, NR, 3))
+    o_cam = transform_points(enc.poses, o_nv)
+    wh = jnp.asarray(enc.image_shape, rays.dtype)
+    f2 = (enc.focal * 2.0 / wh)[:, :, None]
+    cterm = (enc.c * 2.0 / wh - 1.0)[:, :, None]
+    U0 = o_cam[..., :2] * f2 + o_cam[..., 2:3] * cterm
+    U1 = dirs_cam[..., :2] * f2 + dirs_cam[..., 2:3] * cterm
+    w0, w1 = o_cam[..., 2], dirs_cam[..., 2]
+    z0, zL = z[:, None, :, 0], z[:, None, :, -1]
+    den0, denL = w0 + z0 * w1, w0 + zL * w1
+    ok = (den0 > 1e-9) & (denL > 1e-9)
+    uv0 = jnp.where(ok[..., None], (U0 + z0[..., None] * U1)
+                    / jnp.where(den0 == 0, 1.0, den0)[..., None], 0.0)
+    uvL = jnp.where(ok[..., None], (U0 + zL[..., None] * U1)
+                    / jnp.where(denL == 0, 1.0, denL)[..., None], 0.0)
+    duv = uvL - uv0
+
+    W = H = 64
+    for A in (64, 128):
+        d0, s0, n0 = dg._gather_anchor_priors(enc, uv0, duv, A)
+        d1, s1, n1 = dg._gather_anchor_priors_paired(enc, uv0, duv, A)
+        # per-(view, ray) exactness predicate: spacing <= 1 px per axis
+        span_px = jnp.stack([jnp.abs(duv[..., 0]) * 0.5 * W,
+                             jnp.abs(duv[..., 1]) * 0.5 * H], -1)
+        exact_vr = jnp.max(span_px, -1) / A <= 1.0          # (SB, NV, NR)
+        frac_exact = float(jnp.mean(exact_vr.astype(jnp.float32)))
+        assert frac_exact > 0.5, "test geometry gives too few short chords"
+        m = exact_vr[..., None]
+        # On short chords the paired fetch reads the SAME pixel as the plain
+        # path; only the bf16 table rounding differs: depth keeps ~f24 via
+        # the hi/lo split (rel err <= ~2^-16), std/normal round to bf16
+        # (rel err <= 2^-8).
+        me, pe = (np.asarray(jnp.where(m, d0, 0.0)),
+                  np.asarray(jnp.where(m, d1, 0.0)))
+        np.testing.assert_allclose(pe, me, rtol=3e-5, atol=1e-6,
+                                   err_msg=f"paired depth drifts (A={A})")
+        np.testing.assert_allclose(np.asarray(jnp.where(m, s1, 0.0)),
+                                   np.asarray(jnp.where(m, s0, 0.0)),
+                                   rtol=1e-2, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(jnp.where(m[..., None], n1, 0.0)),
+            np.asarray(jnp.where(m[..., None], n0, 0.0)),
+            rtol=1e-2, atol=5e-3)
+        # the PIXEL choice must be identical on short chords: nonzero
+        # pattern of std (validity gate input) matches exactly
+        np.testing.assert_array_equal(
+            np.asarray(jnp.where(m, s1, 0.0)) == 0,
+            np.asarray(jnp.where(m, s0, 0.0)) == 0)
+        # long chords: bounded, not exact — depths stay in table range
+        assert float(jnp.max(jnp.abs(jnp.where(m, 0.0, d0 - d1)))) < 2.0
