@@ -11,13 +11,15 @@ iteration in jitted chunks.
 
 Primary metric: rays/s of the CERTIFIED fast preset, constructed from
 configs/evaluate_diner_on_dtu_fast.yaml via cli.build (the same wiring eval
-users get) — epipolar-anchor priors A=192 + quad-packed exact bilinear
-latent + int8 latent rows + bf16 compute + 32 samples/ray. On the trained
-padding-64 flagship-architecture checkpoint this path measures -0.067 /
-+0.007 dB PSNR-vs-GT against the exact-f32 reference-semantics render
+users get) — epipolar-anchor priors A=256 fetched via the paired bf16
+quad-row gather + quad-packed exact bilinear latent + int8 latent rows +
+bf16 compute + 32 samples/ray. On the trained padding-64
+flagship-architecture checkpoint this path measures -0.016 / +0.024 dB
+PSNR-vs-GT (pooled +0.004) against the exact-f32 reference-semantics render
 (1000 candidates / 40 samples / 15 gaussian) on two 16-scene held-out seeds
 (scripts/certify_fast_path.py --flagship-sampling,
-results/certify_final_seed{777,1313}_r5.json, PERFORMANCE.md round 5).
+results/certify_pairedbf16_seed{777,1313}_r5.json, PERFORMANCE.md round
+5).
 Also reported:
   - exact_rays_per_sec: n_prior_anchors=0, n_samples=40, f32 — bit-parity
     reference semantics, at ITS best chunk (8192);
@@ -206,11 +208,12 @@ def main():
                              "(PyTorch A100, no published numbers; see "
                              "scripts/time_reference_render.py)",
         "path": "certified fast preset (configs/evaluate_diner_on_dtu_fast"
-                ".yaml): anchors A=192 + quad exact latent + int8 rows + "
-                "bf16 + 32 samples; PSNR-vs-GT delta vs exact-f32 "
-                "(1000/40/15) on the trained padding-64 checkpoint: "
-                "-0.067 dB (seed 777) / +0.007 dB (seed 1313), 16 scenes "
-                "each (results/certify_final_seed*_r5.json)",
+                ".yaml): anchors A=256 via paired bf16 quad-row gather + "
+                "quad exact latent + int8 rows + bf16 + 32 samples; "
+                "PSNR-vs-GT delta vs exact-f32 (1000/40/15) on the trained "
+                "padding-64 checkpoint: -0.016 dB (seed 777) / +0.024 dB "
+                "(seed 1313), 16 scenes each "
+                "(results/certify_pairedbf16_seed*_r5.json)",
         "secs_per_frame_256x320": round(dt_fast, 4),
         "secs_per_frame_min": round(min_fast, 4),
         "spread_pct": round((dt_fast - min_fast) / dt_fast * 100, 2),
