@@ -40,6 +40,9 @@ def main(argv=None):
                     help="exact run dir (no timestamp); use with --resume to "
                          "continue a previous invocation")
     ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="model-init / training RNG seed (reproducibility "
+                         "and multi-seed robustness studies)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--multihost", action="store_true",
                     help="initialize jax.distributed before touching devices "
@@ -167,7 +170,7 @@ def main(argv=None):
           ckpt_every=int(conf.get("checkpointing", {}).get("kwargs", {})
                          .get("every_n_train_steps", 10_000)),
           val_every=_resolve_val_every(val_every, train_loader),
-          val_fn=val_fn, resume=args.resume)
+          val_fn=val_fn, resume=args.resume, seed=args.seed)
     print(f"training done -> {logdir}")
 
 
