@@ -391,3 +391,56 @@ def test_latent_anchors_approximation():
                                atol=2e-5)
     mse = float(np.mean((np.asarray(rgb_coarse) - np.asarray(rgb_exact)) ** 2))
     assert -10 * np.log10(max(mse, 1e-12)) > 30.0, f"coarse-anchor mse {mse}"
+
+
+def test_render_image_paired_prior_gather_close_to_plain():
+    """End-to-end render with RenderConfig.paired_prior_gather must stay
+    close to the plain anchor render (same anchors, bf16-table rounding
+    only) — guards the full sampler->aux->field wiring of the r5 paired
+    fetch, not just the fetch function."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diner_tpu.core.types import RenderConfig
+    from diner_tpu.data import SyntheticSphereDataset, collate, to_device_batch
+    from diner_tpu.geometry import gen_rays
+    from diner_tpu.models import PixelNeRF
+    from diner_tpu.renderer import render_image
+
+    H = W = 32
+    ds = SyntheticSphereDataset(n_scenes=1, n_views=3, H=H, W=W)
+    batch = to_device_batch(collate([ds[0]]))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()
+             if not isinstance(v, list)}
+    nerf = PixelNeRF(encoder_layers=2, d_hidden=64, n_blocks=3,
+                     combine_layer=2, image_padding=8, padding_pe=2)
+    variables = nerf.init(jax.random.PRNGKey(0), batch["src_rgbs"],
+                          batch["src_depths"], batch["src_depth_stds"],
+                          batch["src_extrinsics"], batch["src_intrinsics"],
+                          jnp.zeros((1, 1, 3)), jnp.zeros((1, 1, 3)))
+    enc = nerf.apply(variables, batch["src_rgbs"], batch["src_depths"],
+                     batch["src_depth_stds"], batch["src_extrinsics"],
+                     batch["src_intrinsics"], method="encode")
+    rays = gen_rays(batch["target_extrinsics"], batch["target_intrinsics"],
+                    W, H, ds.znear, ds.zfar)
+    base = RenderConfig(n_samples=8, n_depth_candidates=64, n_gaussian=3,
+                        n_prior_anchors=16, eval_chunk_rays=256)
+
+    outs = {}
+    for name, cfg in (("plain", base),
+                      ("paired", dataclasses.replace(
+                          base, paired_prior_gather=True))):
+        rgb, depth = render_image(
+            lambda p, d, aux=None: nerf.apply(variables, enc, p, d, aux,
+                                              method="field"),
+            jax.random.PRNGKey(7), rays, enc, cfg, chunk=256)
+        outs[name] = (np.asarray(rgb), np.asarray(depth))
+        assert np.isfinite(outs[name][0]).all()
+
+    diff = np.abs(outs["plain"][0] - outs["paired"][0])
+    mse = float((diff ** 2).mean())
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 30.0, f"paired render diverges from plain ({psnr:.1f} dB)"
